@@ -1,0 +1,495 @@
+"""Pure-functional warehouse simulation step.
+
+Reimplements the reference step pipeline (warehouse.py:668-704):
+attribute macro actions -> resolve move conflicts -> resolve stuck agents ->
+execute micro actions -> process deliveries -> termination, as fixed-shape
+array programs. The sequential, order-dependent Python loops of the
+reference (notably the O(A^2) pairwise clash scan, warehouse.py:447-478)
+are re-derived as order-preserving array rules; parity with the reference is
+at the metric/distribution level (SURVEY.md §7 "Hard parts").
+
+Semantics notes (derived by reading the reference closely):
+  * Movement is "accordion": a mover is blocked whenever its destination
+    cell currently holds a blocking agent, even one that moves away this
+    step (warehouse.py:462-463 NOOPs followers unconditionally). Chains
+    advance one gap per step.
+  * Cross-type occupancy only blocks on highway cells; on rack cells a
+    Picker may step onto an AGV's cell and vice versa (warehouse.py:454-460).
+  * Two movers contending for the same empty cell: all but one yield and
+    enter fixing-clash mode, but only while neither is already fixing
+    (warehouse.py:474-478).
+  * Bumping into an effectively stationary, non-rotating, non-fixing agent
+    triggers a clash: the bumper gets fixing_clash=4 and replans around
+    agents if a path exists (warehouse.py:461-473).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from swarm_ode_tpu.definitions import (
+    Action,
+    AgentType,
+    DELIVERY_REWARD,
+    FIXING_CLASH_TIME,
+    HANDOFF_REWARD_GLOBAL,
+    HANDOFF_REWARD_INDIVIDUAL,
+    RewardType,
+    STEP_PENALTY,
+    STUCK_THRESHOLD,
+)
+from swarm_ode_tpu.env.pathfinding import INF32, dynamic_fields
+from swarm_ode_tpu.env.state import (
+    EnvParams,
+    EnvState,
+    agent_class,
+    occupancy_grids,
+)
+
+# Direction value -> index on the clockwise wheel [UP, RIGHT, DOWN, LEFT]
+_DIR_TO_WHEEL = jnp.array([0, 2, 3, 1], jnp.int32)
+_WHEEL_TO_DIR = jnp.array([0, 3, 1, 2], jnp.int32)
+# turn difference (src_wheel - dst_wheel) % 4 -> micro action
+# (reference utils/utils.py:54-64)
+_TURN_TO_ACTION = jnp.array(
+    [Action.FORWARD, Action.LEFT, Action.RIGHT, Action.RIGHT], jnp.int32
+)
+# Direction -> (dx, dy) displacement
+_DIR_DX = jnp.array([0, 0, -1, 1], jnp.int32)
+_DIR_DY = jnp.array([-1, 1, 0, 0], jnp.int32)
+
+
+def micro_toward(cur_dir: jnp.ndarray, move_dir: jnp.ndarray) -> jnp.ndarray:
+    """Next micro action to end up moving in `move_dir`
+    (reference utils/utils.py:37-64)."""
+    diff = (_DIR_TO_WHEEL[cur_dir] - _DIR_TO_WHEEL[move_dir]) % 4
+    return _TURN_TO_ACTION[diff]
+
+
+def reset(params: EnvParams, key: jnp.ndarray) -> EnvState:
+    """Fresh episode state (reference warehouse.py:621-666)."""
+    A, S, R = params.num_agents, params.num_shelves, params.request_queue_size
+    k_loc, k_dir, k_req, key = jax.random.split(key, 4)
+
+    n_hw = params.highway_cells.shape[0]
+    loc_ids = jax.random.choice(k_loc, n_hw, (A,), replace=False)
+    locs = params.highway_cells[loc_ids]  # (A, 2) (y, x)
+    agent_xy = jnp.stack([locs[:, 1], locs[:, 0]], axis=-1).astype(jnp.int32)
+    agent_dir = jax.random.randint(k_dir, (A,), 0, 4, dtype=jnp.int32)
+    request_queue = (
+        jax.random.choice(k_req, S, (R,), replace=False).astype(jnp.int32) + 1
+    )
+    shelf_xy = jnp.stack(
+        [params.shelf_cells[:, 1], params.shelf_cells[:, 0]], axis=-1
+    ).astype(jnp.int32)
+
+    return EnvState(
+        agent_xy=agent_xy,
+        agent_dir=agent_dir,
+        agent_busy=jnp.zeros(A, jnp.bool_),
+        agent_target=jnp.zeros(A, jnp.int32),
+        agent_carrying=jnp.zeros(A, jnp.int32),
+        agent_fixing_clash=jnp.zeros(A, jnp.int32),
+        agent_replan=jnp.zeros(A, jnp.bool_),
+        agent_has_delivered=jnp.zeros(A, jnp.bool_),
+        agent_req_action=jnp.full(A, Action.NOOP, jnp.int32),
+        stuck_count=jnp.zeros(A, jnp.int32),
+        stuck_xy=agent_xy,
+        shelf_xy=shelf_xy,
+        request_queue=request_queue,
+        cur_steps=jnp.int32(0),
+        cur_inactive=jnp.int32(0),
+        key=key,
+    )
+
+
+def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
+    """Distance-to-target and next-hop AT THE AGENT'S OWN CELL for replanning
+    agents, per config.replan_mode."""
+    A = params.num_agents
+    aidx = jnp.arange(A)
+    x, y = xy[:, 0], xy[:, 1]
+    if params.replan_mode == "bfs":
+        ddist, dnd = dynamic_fields(params, occupied, targets_yx, xy[:, ::-1], cls)
+        return ddist[aidx, y, x], dnd[aidx, y, x]
+    # Static-field fallback ('off' / 'greedy'): distance from the static
+    # field; 'greedy' biases the next hop toward unoccupied neighbors.
+    tgt_idx = jnp.maximum(state.agent_target - 1, 0)
+    sdist = params.field_dist[cls, tgt_idx, y, x]
+    snd = params.field_next_dir[cls, tgt_idx, y, x].astype(jnp.int32)
+    if params.replan_mode == "off":
+        return sdist, snd
+    # greedy: among in-bounds neighbors, minimize static dist with a large
+    # penalty for occupied cells; preference order matches the field.
+    H, W = params.grid_h, params.grid_w
+    best_score = jnp.full(A, jnp.int32(1 << 30))
+    best_dir = snd
+    for d in range(4):
+        nx = jnp.clip(x + _DIR_DX[d], 0, W - 1)
+        ny = jnp.clip(y + _DIR_DY[d], 0, H - 1)
+        in_bounds = (x + _DIR_DX[d] == nx) & (y + _DIR_DY[d] == ny)
+        nd_dist = params.field_dist[cls, tgt_idx, ny, nx]
+        occ = occupied[ny, nx]
+        score = nd_dist + occ.astype(jnp.int32) * 1000
+        score = jnp.where(in_bounds, score, 1 << 30)
+        take = score < best_score
+        best_score = jnp.where(take, score, best_score)
+        best_dir = jnp.where(take, d, best_dir)
+    return sdist, best_dir
+
+
+def step(
+    params: EnvParams, state: EnvState, macro_actions: jnp.ndarray
+) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One simulation step.
+
+    Args:
+      macro_actions: (A,) int32 in [0, num_actions); 0 = noop, 1..G goals,
+        G+1.. rack cells (reference action_id_to_coords_map).
+
+    Returns:
+      (new_state, rewards (A,) f32, done () bool, info dict)
+    """
+    A = params.num_agents
+    H, W = params.grid_h, params.grid_w
+    aidx = jnp.arange(A)
+    cls = agent_class(params)
+    is_picker = params.agent_type == AgentType.PICKER
+    is_loader = ~is_picker  # AGV or AGENT: can toggle-load
+
+    agv_grid, picker_grid, shelf_grid, carried_grid = occupancy_grids(params, state)
+    occupied = (agv_grid > 0) | (picker_grid > 0)
+
+    xy = state.agent_xy
+    x, y = xy[:, 0], xy[:, 1]
+
+    # ---------------- Phase 1a: target assignment (warehouse.py:358-376) ----
+    fixing = jnp.maximum(state.agent_fixing_clash - 1, 0)
+    was_busy = state.agent_busy
+    macro = macro_actions.astype(jnp.int32)
+    tgt_idx_macro = jnp.maximum(macro - 1, 0)
+    start_dist = params.field_dist[cls, tgt_idx_macro, y, x]
+    can_start = (~was_busy) & (macro != 0) & (start_dist > 0) & (start_dist < INF32)
+    target = jnp.where(was_busy, state.agent_target, 0)
+    target = jnp.where(can_start, macro, target)
+    busy = was_busy | can_start
+    replan = state.agent_replan & was_busy
+
+    tgt_idx = jnp.maximum(target - 1, 0)
+    tgt_cell = params.action_cells[tgt_idx]  # (A, 2) (y, x)
+    tgt_y, tgt_x = tgt_cell[:, 0], tgt_cell[:, 1]
+
+    # ---------------- Dynamic replan fields (warehouse.py:469,:502) ---------
+    dyn_dist_at, dyn_nd_at = _replan_dist_nextdir(
+        params,
+        state.replace(agent_target=target),
+        occupied,
+        tgt_cell,
+        cls,
+        xy,
+    )
+
+    # ---------------- Phase 1b: action attribution (warehouse.py:377-404) ---
+    s_dist = params.field_dist[cls, tgt_idx, y, x]
+    s_nd = params.field_next_dir[cls, tgt_idx, y, x].astype(jnp.int32)
+    use_dyn = replan
+    d = jnp.where(use_dyn, dyn_dist_at, s_dist)
+    nd = jnp.where(use_dyn, dyn_nd_at, s_nd)
+    d = jnp.where(busy, d, 0)
+
+    arrived = busy & (d == 0)
+    # Newly-started agents reset their stuck tracker (warehouse.py:376).
+    req = jnp.full(A, Action.NOOP, jnp.int32)
+    move_req = micro_toward(state.agent_dir, jnp.maximum(nd, 0))
+    moving_now = busy & (d > 0) & (d < INF32) & (nd >= 0)
+    req = jnp.where(moving_now, move_req, req)
+    req = jnp.where(arrived & is_loader, Action.TOGGLE_LOAD, req)
+    # Pickers that finished their path simply become idle (warehouse.py:382-383).
+    busy = jnp.where(arrived & is_picker, False, busy)
+
+    # Distance-travelled counters: previously-busy agents following a path
+    # (warehouse.py:385-387).
+    followed = was_busy & ~arrived & (d < INF32)
+    agvs_distance = jnp.sum(followed & (params.agent_type == AgentType.AGV))
+    pickers_distance = jnp.sum(followed & is_picker)
+
+    # Near-target logic for previously-busy agents (warehouse.py:388-404).
+    near = was_busy & (d == 1)
+    tgt_shelf = shelf_grid[tgt_y, tgt_x]
+    abort_unload = near & (state.agent_carrying > 0) & (tgt_shelf > 0)
+    req = jnp.where(abort_unload, Action.NOOP, req)
+    busy = jnp.where(abort_unload, False, busy)
+
+    # Picker waits next to the shelf until its AGV is toggling there
+    # (warehouse.py:393-404). AGV reqs are final at this point because the
+    # reference processes AGVs (lower ids) before pickers.
+    tgt_agv = agv_grid[tgt_y, tgt_x]
+    tgt_agv_req = jnp.where(tgt_agv > 0, req[jnp.maximum(tgt_agv - 1, 0)], Action.NOOP)
+    agv_toggling = (tgt_agv > 0) & (tgt_agv_req == Action.TOGGLE_LOAD)
+    picker_near = near & is_picker
+    req = jnp.where(picker_near & ~agv_toggling, Action.NOOP, req)
+    reset_stuck = can_start | (picker_near & agv_toggling)
+
+    stuck_count = jnp.where(reset_stuck, 0, state.stuck_count)
+    stuck_xy = jnp.where(reset_stuck[:, None], xy, state.stuck_xy)
+
+    # ---------------- Phase 2: move-conflict resolution ---------------------
+    dx = _DIR_DX[state.agent_dir]
+    dy = _DIR_DY[state.agent_dir]
+    fwd_x = jnp.clip(x + dx, 0, W - 1)
+    fwd_y = jnp.clip(y + dy, 0, H - 1)
+    is_fwd = req == Action.FORWARD
+    req_x = jnp.where(is_fwd, fwd_x, x)
+    req_y = jnp.where(is_fwd, fwd_y, y)
+    mover = is_fwd & ((req_x != x) | (req_y != y))
+
+    occ_same = jnp.where(is_picker, picker_grid[req_y, req_x], agv_grid[req_y, req_x])
+    occ_other = jnp.where(is_picker, agv_grid[req_y, req_x], picker_grid[req_y, req_x])
+    dest_hw = params.highway[req_y, req_x]
+    block_same = occ_same > 0
+    block_other = (occ_other > 0) & dest_hw
+    occupied_block = mover & (block_same | block_other)
+
+    # Same-destination contention: on highway cells both layers contend; on
+    # rack cells only same-layer movers contend (cross-type may overlap).
+    contender = mover & ~occupied_block
+    dest_flat = req_y * W + req_x
+    gid = dest_flat * 2 + jnp.where(dest_hw, 0, is_picker.astype(jnp.int32))
+    elig = contender & (fixing == 0)
+    max_idx = (
+        jnp.full(H * W * 2, -1, jnp.int32)
+        .at[gid]
+        .max(jnp.where(elig, aidx.astype(jnp.int32), -1))
+    )
+    yields = elig & (aidx < max_idx[gid])
+    moved = contender & ~yields
+
+    # Clash detection against the blocking occupant (warehouse.py:461-473).
+    occ_id = jnp.where(block_same, occ_same, jnp.where(block_other, occ_other, 0))
+    occ_i = jnp.maximum(occ_id - 1, 0)
+    has_occ = occupied_block & (occ_id > 0)
+    occ_req = req[occ_i]
+    occ_rotating = (occ_req == Action.LEFT) | (occ_req == Action.RIGHT)
+    occ_is_mover = mover[occ_i]
+    occ_moved = moved[occ_i]
+    occ_dest_x, occ_dest_y = req_x[occ_i], req_y[occ_i]
+    occ_heads_back = ((occ_dest_x == x) & (occ_dest_y == y)) | (
+        (occ_dest_x == req_x) & (occ_dest_y == req_y)
+    )
+    trigger = (
+        has_occ
+        & ~occ_rotating
+        & ~occ_moved
+        & (fixing[occ_i] == 0)
+        & (~occ_is_mover | occ_heads_back)
+    )
+    clashes = jnp.sum(trigger)
+
+    dyn_ok = dyn_dist_at < INF32
+    fixing = jnp.where(yields, FIXING_CLASH_TIME, fixing)
+    fixing = jnp.where(trigger, jnp.where(dyn_ok, FIXING_CLASH_TIME, 0), fixing)
+    replan = replan | (trigger & dyn_ok)
+    req = jnp.where(mover & ~moved, Action.NOOP, req)
+
+    # ---------------- Phase 3: stuck resolution (warehouse.py:486-519) ------
+    at_goal = params.is_goal[y, x]
+    consider = (
+        busy
+        & (req != Action.LEFT)
+        & (req != Action.RIGHT)
+        & ((req != Action.TOGGLE_LOAD) | at_goal)
+    )
+    same_pos = (x == stuck_xy[:, 0]) & (y == stuck_xy[:, 1])
+    stuck_count = jnp.where(consider, jnp.where(same_pos, stuck_count + 1, 0), stuck_count)
+    stuck_xy = jnp.where((consider & ~same_pos)[:, None], xy, stuck_xy)
+
+    upper = STUCK_THRESHOLD + params.column_height + 2
+    c1 = consider & (stuck_count > STUCK_THRESHOLD) & (stuck_count < upper)
+    c2 = consider & (stuck_count > upper)
+
+    req = jnp.where(c1 | c2, Action.NOOP, req)
+    # c1, path nonempty: replan around agents if possible (warehouse.py:502-509)
+    c1_replan = c1 & ~arrived & dyn_ok
+    replan = replan | c1_replan
+    reset1 = c1_replan & (dyn_dist_at > 1)
+    stuck_count = jnp.where(reset1, 0, stuck_count)
+    stuck_xy = jnp.where(reset1[:, None], xy, stuck_xy)
+    # c1, path empty (toggling at goal, blocked): abandon (warehouse.py:510-513)
+    c1_abandon = c1 & arrived
+    busy = jnp.where(c1_abandon, False, busy)
+    stuck_count = jnp.where(c1_abandon, 0, stuck_count)
+    # c2: hard abandon (warehouse.py:514-519)
+    busy = jnp.where(c2, False, busy)
+    stuck_count = jnp.where(c2, 0, stuck_count)
+    stuck_xy = jnp.where(c2[:, None], xy, stuck_xy)
+    stucks = jnp.sum(c1_abandon) + jnp.sum(c2)
+
+    # ---------------- Phase 4: execute micro actions (warehouse.py:521-590) -
+    rewards = jnp.full(A, -STEP_PENALTY, jnp.float32)
+
+    do_fwd = req == Action.FORWARD
+    new_x = jnp.where(do_fwd, req_x, x)
+    new_y = jnp.where(do_fwd, req_y, y)
+    new_xy = jnp.stack([new_x, new_y], axis=-1)
+
+    wheel = _DIR_TO_WHEEL[state.agent_dir]
+    new_wheel = jnp.where(
+        req == Action.RIGHT,
+        (wheel + 1) % 4,
+        jnp.where(req == Action.LEFT, (wheel - 1) % 4, wheel),
+    )
+    new_dir = _WHEEL_TO_DIR[new_wheel]
+
+    toggling = req == Action.TOGGLE_LOAD
+    carrying = state.agent_carrying
+    picker_here = picker_grid[y, x] > 0
+    here_shelf = shelf_grid[y, x]
+    # Load (warehouse.py:530-552)
+    wants_load = toggling & (carrying == 0)
+    can_load = wants_load & (here_shelf > 0) & (
+        ((params.agent_type == AgentType.AGV) & picker_here)
+        | (params.agent_type == AgentType.AGENT)
+    )
+    load_fail = wants_load & (here_shelf == 0)
+    carrying = jnp.where(can_load, here_shelf, carrying)
+    busy = jnp.where(can_load | load_fail, False, busy)
+
+    # Unload (warehouse.py:554-577)
+    wants_unload = toggling & (state.agent_carrying > 0)
+    unload_blocked = wants_unload & (at_goal | (here_shelf > 0))
+    busy = jnp.where(unload_blocked, False, busy)
+    can_unload = (
+        wants_unload
+        & ~unload_blocked
+        & ~params.highway[y, x]
+        & (
+            ((params.agent_type == AgentType.AGV) & picker_here)
+            | (params.agent_type == AgentType.AGENT)
+        )
+    )
+    placed_shelf = jnp.where(can_unload, state.agent_carrying, 0)
+    carrying = jnp.where(can_unload, 0, carrying)
+    busy = jnp.where(can_unload, False, busy)
+    has_delivered = jnp.where(can_unload, False, state.agent_has_delivered)
+
+    # Handoff rewards (load or unload): picker at the cell gets credit
+    # (or the AGENT itself).
+    handoff = can_load | can_unload
+    if params.reward_type == RewardType.GLOBAL:
+        rewards = rewards + jnp.sum(handoff) * HANDOFF_REWARD_GLOBAL
+    elif params.reward_type == RewardType.INDIVIDUAL:
+        self_credit = handoff & (params.agent_type == AgentType.AGENT)
+        picker_credit_id = jnp.where(
+            handoff & (params.agent_type == AgentType.AGV), picker_grid[y, x], 0
+        )
+        rewards = rewards + self_credit * HANDOFF_REWARD_INDIVIDUAL
+        rewards = rewards.at[jnp.maximum(picker_credit_id - 1, 0)].add(
+            jnp.where(picker_credit_id > 0, HANDOFF_REWARD_INDIVIDUAL, 0.0)
+        )
+
+    # Write placed shelves into shelf positions; out-of-range index drops the
+    # write for agents that placed nothing.
+    S = params.num_shelves
+    shelf_xy = state.shelf_xy
+    place_idx = jnp.where(placed_shelf > 0, placed_shelf - 1, S)
+    shelf_xy = shelf_xy.at[place_idx].set(xy, mode="drop")
+    # Carried shelves follow their carrier (warehouse.py:524-525); keep the
+    # stored position in sync so downstream grids stay consistent.
+    carry_idx = jnp.where(carrying > 0, carrying - 1, S)
+    shelf_xy = shelf_xy.at[carry_idx].set(new_xy, mode="drop")
+
+    # ---------------- Phase 5: shelf deliveries (warehouse.py:592-619) ------
+    # Uses the occupancy grids from the END OF THE PREVIOUS step, like the
+    # reference (process_shelf_deliveries runs before _recalc_grid).
+    carried_now = (
+        jnp.zeros(params.num_shelves + 1, jnp.bool_).at[carrying].set(True)[1:]
+    )
+    in_queue = (
+        jnp.zeros(params.num_shelves + 1, jnp.bool_)
+        .at[state.request_queue]
+        .set(True)[1:]
+    )
+    sidx = jnp.arange(params.num_shelves, dtype=jnp.int32)
+
+    def deliver_one(carry, goal_yx):
+        rewards, queue, has_del, key, n_del, in_q = carry
+        gy, gx = goal_yx[0], goal_yx[1]
+        shelf_id = carried_grid[gy, gx]
+        valid = (shelf_id > 0) & in_q[jnp.maximum(shelf_id - 1, 0)]
+        # Replacement: uniform over shelves not requested and not carried
+        # (warehouse.py:599-603).
+        key, sub = jax.random.split(key)
+        cand = ~in_q & ~carried_now
+        p = cand.astype(jnp.float32)
+        p = p / jnp.maximum(p.sum(), 1.0)
+        new_shelf = jax.random.choice(sub, sidx, p=p) + 1
+        slot = jnp.argmax(queue == shelf_id)
+        queue = jnp.where(valid, queue.at[slot].set(new_shelf), queue)
+        in_q = jnp.where(
+            valid,
+            in_q.at[jnp.maximum(shelf_id - 1, 0)].set(False).at[new_shelf - 1].set(True),
+            in_q,
+        )
+        agent_id = agv_grid[gy, gx]
+        ai = jnp.maximum(agent_id - 1, 0)
+        first = valid & (agent_id > 0) & ~has_del[ai]
+        has_del = jnp.where(valid & (agent_id > 0), has_del.at[ai].set(True), has_del)
+        if params.reward_type == RewardType.GLOBAL:
+            rewards = rewards + jnp.where(first, DELIVERY_REWARD, 0.0)
+        elif params.reward_type == RewardType.INDIVIDUAL:
+            rewards = rewards.at[ai].add(jnp.where(first, DELIVERY_REWARD, 0.0))
+        n_del = n_del + valid.astype(jnp.int32)
+        return (rewards, queue, has_del, key, n_del, in_q), None
+
+    (rewards, request_queue, has_delivered, key, shelf_deliveries, _), _ = (
+        jax.lax.scan(
+            deliver_one,
+            (rewards, state.request_queue, has_delivered, state.key, jnp.int32(0), in_queue),
+            params.goals_yx,
+        )
+    )
+
+    cur_inactive = jnp.where(shelf_deliveries > 0, 0, state.cur_inactive + 1)
+    cur_steps = state.cur_steps + 1
+
+    done = jnp.bool_(False)
+    if params.max_inactivity_steps:
+        done = done | (cur_inactive >= params.max_inactivity_steps)
+    if params.max_steps:
+        done = done | (cur_steps >= params.max_steps)
+
+    replan = replan & busy
+
+    new_state = EnvState(
+        agent_xy=new_xy,
+        agent_dir=new_dir,
+        agent_busy=busy,
+        agent_target=target,
+        agent_carrying=carrying,
+        agent_fixing_clash=fixing,
+        agent_replan=replan,
+        agent_has_delivered=has_delivered,
+        agent_req_action=req,
+        stuck_count=stuck_count,
+        stuck_xy=stuck_xy,
+        shelf_xy=shelf_xy,
+        request_queue=request_queue,
+        cur_steps=cur_steps,
+        cur_inactive=cur_inactive,
+        key=key,
+    )
+
+    idle = (req == Action.NOOP) | (req == Action.TOGGLE_LOAD)
+    info = {
+        "vehicles_busy": busy,
+        "shelf_deliveries": shelf_deliveries,
+        "clashes": clashes,
+        "stucks": stucks,
+        "agvs_distance_travelled": agvs_distance,
+        "pickers_distance_travelled": pickers_distance,
+        "agvs_idle_time": jnp.sum(idle & ~is_picker),
+        "pickers_idle_time": jnp.sum(idle & is_picker),
+    }
+    return new_state, rewards, done, info

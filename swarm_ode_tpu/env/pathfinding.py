@@ -14,6 +14,7 @@ Two implementations:
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from swarm_ode_tpu.definitions import Direction
@@ -73,20 +74,46 @@ def dynamic_fields(
         return d, None
 
     dist, _ = jax.lax.scan(relax, dist, None, length=params.dynamic_bfs_iters)
+    return dist, pas
 
-    # Next-hop toward the best *passable* neighbor (preference order).
-    next_dir = jnp.full((A, H, W), -1, jnp.int8)
-    best = jnp.full((A, H, W), INF32)
+
+def dist_nextdir_at(
+    params: EnvParams,
+    dist: jnp.ndarray,  # (A, H, W) from dynamic_fields
+    pas: jnp.ndarray,  # (A, H, W) passable from dynamic_fields
+    at_yx: jnp.ndarray,  # (A, 2) (y, x) query cell per agent
+):
+    """Distance and next-hop direction at one cell per agent.
+
+    Only the agents' own cells are ever queried per step, so the full-grid
+    next-hop field is never materialized (compile/runtime saving vs the
+    static precomputed fields, which are host-side numpy).
+    """
+    A = dist.shape[0]
+    H, W = params.grid_h, params.grid_w
+    aidx = jnp.arange(A)
+    yq, xq = at_yx[:, 0], at_yx[:, 1]
+    best = jnp.full(A, INF32)
+    next_dir = jnp.full(A, -1, jnp.int32)
     for (dy, dx), dval in zip(_NBR_DYDX, _NBR_DIR):
-        nbr = _shift(dist, dy, dx)
-        nbr_pas = _shift(pas.astype(jnp.int32), dy, dx) == 1
+        ny = yq + dy
+        nx = xq + dx
+        in_b = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
+        nyc = jnp.clip(ny, 0, H - 1)
+        nxc = jnp.clip(nx, 0, W - 1)
+        nbr = jnp.where(in_b, dist[aidx, nyc, nxc], INF32)
+        nbr_pas = in_b & pas[aidx, nyc, nxc]
         cand = jnp.where(nbr_pas, nbr, INF32)
         take = cand < best
-        next_dir = jnp.where(take, jnp.int8(dval), next_dir)
+        next_dir = jnp.where(take, jnp.int32(dval), next_dir)
         best = jnp.where(take, cand, best)
-    # Step-off semantics for impassable cells (agent standing inside a rack).
-    dist = jnp.where(pas, dist, jnp.where(best < INF32, best + 1, INF32))
-    next_dir = jnp.where((dist == 0) | (dist >= INF32), jnp.int8(-1), next_dir)
-    return dist, next_dir
+    d_here = dist[aidx, yq, xq]
+    here_pas = pas[aidx, yq, xq]
+    # Step-off semantics for agents standing on an impassable cell.
+    d_here = jnp.where(
+        here_pas, d_here, jnp.where(best < INF32, best + 1, INF32)
+    )
+    next_dir = jnp.where((d_here == 0) | (d_here >= INF32), -1, next_dir)
+    return d_here, next_dir
 
 

@@ -40,7 +40,7 @@ from swarm_ode_tpu.definitions import (
     STEP_PENALTY,
     STUCK_THRESHOLD,
 )
-from swarm_ode_tpu.env.pathfinding import INF32, dynamic_fields
+from swarm_ode_tpu.env.pathfinding import INF32, dist_nextdir_at, dynamic_fields
 from swarm_ode_tpu.env.state import (
     EnvParams,
     EnvState,
@@ -112,8 +112,8 @@ def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
     aidx = jnp.arange(A)
     x, y = xy[:, 0], xy[:, 1]
     if params.replan_mode == "bfs":
-        ddist, dnd = dynamic_fields(params, occupied, targets_yx, xy[:, ::-1], cls)
-        return ddist[aidx, y, x], dnd[aidx, y, x]
+        ddist, pas = dynamic_fields(params, occupied, targets_yx, xy[:, ::-1], cls)
+        return dist_nextdir_at(params, ddist, pas, xy[:, ::-1])
     # Static-field fallback ('off' / 'greedy'): distance from the static
     # field; 'greedy' biases the next hop toward unoccupied neighbors.
     tgt_idx = jnp.maximum(state.agent_target - 1, 0)

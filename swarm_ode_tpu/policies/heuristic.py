@@ -1,0 +1,233 @@
+"""FIFO dispatcher policy as a pure, vmappable JAX function.
+
+Behavioral parity target: reference tarware/heuristic.py:26-146.
+  * Each requested item is assigned to the closest available AGV (A* path
+    length argmin -> here a static-distance-field gather, heuristic.py:71-77).
+  * AGV mission FSM: PICKING -> DELIVERING (closest goal) -> RETURNING
+    (closest unassigned empty rack cell) -> idle (heuristic.py:88-113).
+  * Pickers are zone-partitioned over rack sections (split_list,
+    heuristic.py:44-46) and sent to the oldest AGV mission in their zone
+    (heuristic.py:116-127; OrderedDict insertion order == assignment time).
+
+The reference recomputes A* paths for every (AGV x candidate) pair per step
+— the dominant wall-clock cost (SURVEY.md §3.2). Here every distance is a
+table lookup into the precomputed field, so the dispatcher is O(R*A + A*L)
+arithmetic with no graph search.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from swarm_ode_tpu.env.layout import Layout
+from swarm_ode_tpu.env.observations import empty_shelf_info
+from swarm_ode_tpu.env.pathfinding import INF32
+from swarm_ode_tpu.env.state import EnvParams, EnvState
+
+# Mission types (reference heuristic.py:12-15)
+NONE, PICKING, RETURNING, DELIVERING = 0, 1, 2, 3
+
+
+@struct.dataclass
+class HeuristicState:
+    """Dispatcher bookkeeping (reference's assigned_agvs / assigned_pickers /
+    assigned_items OrderedDicts, heuristic.py:48-50)."""
+
+    agv_mission: jnp.ndarray  # (Na,) int32 mission type
+    agv_loc: jnp.ndarray  # (Na,) int32 action id
+    agv_item: jnp.ndarray  # (Na,) int32 shelf id reserved by this AGV
+    agv_at_loc: jnp.ndarray  # (Na,) bool
+    agv_time: jnp.ndarray  # (Na,) int32 mission assignment step
+    picker_loc: jnp.ndarray  # (Np,) int32 action id (0 = none)
+    timestep: jnp.ndarray  # () int32
+
+
+def init_state(params: EnvParams) -> HeuristicState:
+    Na, Np = params.num_agvs, max(params.num_pickers, 1)
+    return HeuristicState(
+        agv_mission=jnp.zeros(Na, jnp.int32),
+        agv_loc=jnp.zeros(Na, jnp.int32),
+        agv_item=jnp.zeros(Na, jnp.int32),
+        agv_at_loc=jnp.zeros(Na, jnp.bool_),
+        agv_time=jnp.zeros(Na, jnp.int32),
+        picker_loc=jnp.zeros(Np, jnp.int32),
+        timestep=jnp.int32(0),
+    )
+
+
+def picker_zones(layout: Layout, num_pickers: int) -> np.ndarray:
+    """(L,) picker index owning each rack cell (action order).
+
+    split_list over rack sections (reference utils/utils.py:9-17 via
+    heuristic.py:45-46): section list chopped into num_pickers contiguous
+    chunks of near-equal length.
+    """
+    n_groups = layout.num_groups
+    k, m = divmod(n_groups, num_pickers)
+    group_to_picker = np.zeros(n_groups, dtype=np.int32)
+    for i in range(num_pickers):
+        lo = i * k + min(i, m)
+        hi = (i + 1) * k + min(i + 1, m)
+        group_to_picker[lo:hi] = i
+    return group_to_picker[layout.rack_group_action_order]
+
+
+def heuristic_policy(
+    params: EnvParams,
+    zones: jnp.ndarray,  # (L,) int32 picker index per rack cell (action order)
+    env_state: EnvState,
+    h: HeuristicState,
+) -> Tuple[jnp.ndarray, HeuristicState]:
+    """One dispatcher step: returns (macro_actions (A,), new HeuristicState)."""
+    Na = params.num_agvs
+    G, L = params.num_goals, params.num_racks
+    xy = env_state.agent_xy
+    agv_x, agv_y = xy[:Na, 0], xy[:Na, 1]
+    busy = env_state.agent_busy[:Na]
+    carrying = env_state.agent_carrying[:Na] > 0
+    t = h.timestep
+
+    # Distances from every AGV to every action cell: (Na, T) gather on the
+    # free-grid field (AGVs plan with care_for_agents=False, heuristic.py:71).
+    # field_dist[0, :, y, x] -> transpose gather per agv.
+    dist_all = params.field_dist[0][:, agv_y, agv_x].T  # (Na, T)
+
+    # ---- [AGV None -> PICKING]: FIFO queue assignment (heuristic.py:59-77) -
+    def assign_one(carry, item):
+        mission, loc, item_arr, time_arr, at_loc = carry
+        # item: shelf id. Its current rack cell -> action id.
+        sx, sy = (
+            env_state.shelf_xy[item - 1, 0],
+            env_state.shelf_xy[item - 1, 1],
+        )
+        rack_idx = params.cell_to_rack[sy, sx]
+        act_id = jnp.where(rack_idx >= 0, G + 1 + rack_idx, 0)
+        already = jnp.any(item_arr == item)
+        available = (~busy) & (~carrying) & (mission == NONE)
+        d = jnp.where(available, dist_all[:, jnp.maximum(act_id - 1, 0)], INF32)
+        closest = jnp.argmin(d)
+        ok = (~already) & jnp.any(available) & (act_id > 0)
+        mission = jnp.where(ok, mission.at[closest].set(PICKING), mission)
+        loc = jnp.where(ok, loc.at[closest].set(act_id), loc)
+        item_arr = jnp.where(ok, item_arr.at[closest].set(item), item_arr)
+        time_arr = jnp.where(ok, time_arr.at[closest].set(t), time_arr)
+        at_loc = jnp.where(ok, at_loc.at[closest].set(False), at_loc)
+        return (mission, loc, item_arr, time_arr, at_loc), None
+
+    (mission, loc, item_arr, time_arr, at_loc), _ = jax.lax.scan(
+        assign_one,
+        (h.agv_mission, h.agv_loc, h.agv_item, h.agv_time, h.agv_at_loc),
+        env_state.request_queue,
+    )
+
+    # ---- at_location refresh (heuristic.py:81-82) ----
+    loc_cell = params.action_cells[jnp.maximum(loc - 1, 0)]
+    at_now = (agv_x == loc_cell[:, 1]) & (agv_y == loc_cell[:, 0])
+    at_loc = at_loc | ((mission != NONE) & at_now)
+
+    elig = (mission != NONE) & (~busy)
+
+    # ---- [PICKING -> DELIVERING] (heuristic.py:88-94) ----
+    p2d = elig & (mission == PICKING) & at_loc & carrying
+    goal_d = dist_all[:, :G]  # (Na, G) — goal action ids are 1..G
+    closest_goal = jnp.argmin(goal_d, axis=1).astype(jnp.int32) + 1
+    mission = jnp.where(p2d, DELIVERING, mission)
+    loc = jnp.where(p2d, closest_goal, loc)
+    time_arr = jnp.where(p2d, t, time_arr)
+    at_loc = jnp.where(p2d, False, at_loc)
+
+    # ---- [DELIVERING -> RETURNING] (heuristic.py:97-108) ----
+    # Sequential over AGVs: each choice excludes cells already reserved by
+    # any current mission, including ones assigned earlier this same step.
+    empty = empty_shelf_info(params, env_state) > 0  # (L,) action order
+    d2r = elig & (mission == DELIVERING) & at_loc & carrying
+
+    def ret_one(carry, i):
+        mission, loc, time_arr, at_loc = carry
+        reserved = jnp.zeros(L + 1, jnp.bool_).at[
+            jnp.where(loc > G, loc - G - 1, L)
+        ].set(True)[:L]
+        cand = empty & ~reserved
+        d = jnp.where(cand, dist_all[i, G:], INF32)
+        best = jnp.argmin(d).astype(jnp.int32)
+        ok = d2r[i] & (d[best] < INF32)
+        mission = jnp.where(ok, mission.at[i].set(RETURNING), mission)
+        loc = jnp.where(ok, loc.at[i].set(G + 1 + best), loc)
+        time_arr = jnp.where(ok, time_arr.at[i].set(t), time_arr)
+        at_loc = jnp.where(ok, at_loc.at[i].set(False), at_loc)
+        return (mission, loc, time_arr, at_loc), None
+
+    (mission, loc, time_arr, at_loc), _ = jax.lax.scan(
+        ret_one, (mission, loc, time_arr, at_loc), jnp.arange(Na)
+    )
+
+    # ---- [RETURNING -> None] (heuristic.py:111-113) ----
+    done_ret = elig & (mission == RETURNING) & at_loc & (~carrying)
+    mission = jnp.where(done_ret, NONE, mission)
+    loc = jnp.where(done_ret, 0, loc)
+    item_arr = jnp.where(done_ret, 0, item_arr)
+    at_loc = jnp.where(done_ret, False, at_loc)
+
+    # ---- Picker dispatch (heuristic.py:116-127) ----
+    picker_loc = h.picker_loc
+    if params.num_pickers > 0:
+        Np = params.num_pickers
+        pick_xy = xy[Na:]
+        # Pickers whose mission cell is reached: clear (heuristic.py:124-127).
+        pcell = params.action_cells[jnp.maximum(picker_loc - 1, 0)]
+        p_arrived = (
+            (picker_loc > 0)
+            & (pick_xy[:, 0] == pcell[:, 1])
+            & (pick_xy[:, 1] == pcell[:, 0])
+        )
+        picker_loc = jnp.where(p_arrived, 0, picker_loc)
+
+        # Oldest PICKING/RETURNING AGV mission per picker zone.
+        needs_picker = (mission == PICKING) | (mission == RETURNING)
+        m_rack = jnp.where(loc > G, loc - G - 1, 0)
+        m_zone = jnp.where(needs_picker, zones[m_rack], -1)  # (Na,)
+        # priority: older assignment first, then lower agv index
+        prio = time_arr * Na + jnp.arange(Na, dtype=jnp.int32)
+        prio = jnp.where(needs_picker, prio, jnp.int32(1 << 30))
+        # For each picker p: argmin prio among missions with m_zone == p.
+        zone_eq = m_zone[None, :] == jnp.arange(Np, dtype=jnp.int32)[:, None]
+        prio_p = jnp.where(zone_eq, prio[None, :], 1 << 30)  # (Np, Na)
+        best_agv = jnp.argmin(prio_p, axis=1)
+        has_mission = jnp.min(prio_p, axis=1) < (1 << 30)
+        new_loc = loc[best_agv]
+        picker_loc = jnp.where(
+            (picker_loc == 0) & has_mission, new_loc, picker_loc
+        )
+
+    # ---- Actions (heuristic.py:130-133) ----
+    agv_actions = jnp.where((mission != NONE) & (~busy), loc, 0)
+    actions = jnp.concatenate([agv_actions, picker_loc[: params.num_pickers]])
+
+    new_h = HeuristicState(
+        agv_mission=mission,
+        agv_loc=loc,
+        agv_item=item_arr,
+        agv_at_loc=at_loc,
+        agv_time=time_arr,
+        picker_loc=picker_loc,
+        timestep=t + 1,
+    )
+    return actions, new_h
+
+
+def make_policy(params: EnvParams, layout: Layout):
+    """Bind zones; returns policy_step(params, env_state, h) -> (actions, h)."""
+    if params.num_pickers > 0:
+        zones = jnp.asarray(picker_zones(layout, params.num_pickers))
+    else:
+        zones = jnp.zeros(params.num_racks, jnp.int32)
+
+    def policy_step(params_, env_state, h):
+        return heuristic_policy(params_, zones, env_state, h)
+
+    return policy_step

@@ -59,8 +59,10 @@ class EnvParams:
     cell_to_rack: jnp.ndarray  # (H, W) int32
     shelf_cells: jnp.ndarray  # (S, 2) int32 spawn cell of shelf s+1
     highway_cells: jnp.ndarray  # (Hw, 2) int32, y-major order
-    field_dist: jnp.ndarray  # (2, T, H, W) int32
-    field_next_dir: jnp.ndarray  # (2, T, H, W) int8
+    # Picker-class static fields only: free-grid (AGV/AGENT) planning is
+    # closed-form Manhattan (see step.static_dist_nextdir), so no table.
+    field_dist_picker: jnp.ndarray  # (T, H, W) int32
+    field_next_dir_picker: jnp.ndarray  # (T, H, W) int8
 
     @property
     def config_tuple(self) -> Tuple:
@@ -137,8 +139,8 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
         cell_to_rack=jnp.asarray(lay.cell_to_rack),
         shelf_cells=jnp.asarray(lay.shelf_cells_yx),
         highway_cells=jnp.asarray(highway_cells),
-        field_dist=jnp.asarray(lay.field_dist),
-        field_next_dir=jnp.asarray(lay.field_next_dir),
+        field_dist_picker=jnp.asarray(lay.field_dist[1]),
+        field_next_dir_picker=jnp.asarray(lay.field_next_dir[1]),
     )
 
 

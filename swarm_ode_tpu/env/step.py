@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from swarm_ode_tpu.definitions import (
     Action,
     AgentType,
+    Direction,
     DELIVERY_REWARD,
     FIXING_CLASH_TIME,
     HANDOFF_REWARD_GLOBAL,
@@ -66,6 +67,61 @@ def micro_toward(cur_dir: jnp.ndarray, move_dir: jnp.ndarray) -> jnp.ndarray:
     (reference utils/utils.py:37-64)."""
     diff = (_DIR_TO_WHEEL[cur_dir] - _DIR_TO_WHEEL[move_dir]) % 4
     return _TURN_TO_ACTION[diff]
+
+
+def static_dist_at(
+    params: EnvParams,
+    tgt_idx: jnp.ndarray,  # (A,) action index (action_id - 1, clipped >= 0)
+    cls: jnp.ndarray,  # (A,) 0 = free grid, 1 = picker
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+):
+    """Static planning distance from (x, y) to each agent's target.
+
+    Free-grid agents (AGV/AGENT) need no table: BFS distance on an empty
+    grid is Manhattan distance. Only pickers gather from the precomputed
+    highway-restricted field — keeps the hot path free of large-table
+    gathers on TPU.
+    """
+    tgt = params.action_cells[tgt_idx]
+    ty, tx = tgt[:, 0], tgt[:, 1]
+    man = jnp.abs(ty - y) + jnp.abs(tx - x)
+    if params.num_pickers == 0:
+        return man
+    d_pick = params.field_dist_picker[tgt_idx, y, x]
+    return jnp.where(cls == 0, man, d_pick)
+
+
+def static_dist_nextdir(
+    params: EnvParams,
+    tgt_idx: jnp.ndarray,
+    cls: jnp.ndarray,
+    xy: jnp.ndarray,  # (A, 2) (x, y)
+):
+    """Static-field distance and next-hop per agent. Closed-form for
+    free-grid agents (vertical-first tie-break matches the BFS field's
+    neighbor preference), table gather for pickers."""
+    x, y = xy[:, 0], xy[:, 1]
+    tgt = params.action_cells[tgt_idx]
+    ty, tx = tgt[:, 0], tgt[:, 1]
+    man = jnp.abs(ty - y) + jnp.abs(tx - x)
+    nd_free = jnp.where(
+        ty < y,
+        Direction.UP,
+        jnp.where(
+            ty > y,
+            Direction.DOWN,
+            jnp.where(tx < x, Direction.LEFT, Direction.RIGHT),
+        ),
+    ).astype(jnp.int32)
+    nd_free = jnp.where(man == 0, -1, nd_free)
+    if params.num_pickers == 0:
+        return man, nd_free
+    d_pick = params.field_dist_picker[tgt_idx, y, x]
+    nd_pick = params.field_next_dir_picker[tgt_idx, y, x].astype(jnp.int32)
+    d = jnp.where(cls == 0, man, d_pick)
+    nd = jnp.where(cls == 0, nd_free, nd_pick)
+    return d, nd
 
 
 def reset(params: EnvParams, key: jnp.ndarray) -> EnvState:
@@ -117,8 +173,7 @@ def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
     # Static-field fallback ('off' / 'greedy'): distance from the static
     # field; 'greedy' biases the next hop toward unoccupied neighbors.
     tgt_idx = jnp.maximum(state.agent_target - 1, 0)
-    sdist = params.field_dist[cls, tgt_idx, y, x]
-    snd = params.field_next_dir[cls, tgt_idx, y, x].astype(jnp.int32)
+    sdist, snd = static_dist_nextdir(params, tgt_idx, cls, xy)
     if params.replan_mode == "off":
         return sdist, snd
     # greedy: among in-bounds neighbors, minimize static dist with a large
@@ -130,7 +185,7 @@ def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
         nx = jnp.clip(x + _DIR_DX[d], 0, W - 1)
         ny = jnp.clip(y + _DIR_DY[d], 0, H - 1)
         in_bounds = (x + _DIR_DX[d] == nx) & (y + _DIR_DY[d] == ny)
-        nd_dist = params.field_dist[cls, tgt_idx, ny, nx]
+        nd_dist = static_dist_at(params, tgt_idx, cls, nx, ny)
         occ = occupied[ny, nx]
         score = nd_dist + occ.astype(jnp.int32) * 1000
         score = jnp.where(in_bounds, score, 1 << 30)
@@ -170,7 +225,7 @@ def step(
     was_busy = state.agent_busy
     macro = macro_actions.astype(jnp.int32)
     tgt_idx_macro = jnp.maximum(macro - 1, 0)
-    start_dist = params.field_dist[cls, tgt_idx_macro, y, x]
+    start_dist = static_dist_at(params, tgt_idx_macro, cls, x, y)
     can_start = (~was_busy) & (macro != 0) & (start_dist > 0) & (start_dist < INF32)
     target = jnp.where(was_busy, state.agent_target, 0)
     target = jnp.where(can_start, macro, target)
@@ -192,8 +247,7 @@ def step(
     )
 
     # ---------------- Phase 1b: action attribution (warehouse.py:377-404) ---
-    s_dist = params.field_dist[cls, tgt_idx, y, x]
-    s_nd = params.field_next_dir[cls, tgt_idx, y, x].astype(jnp.int32)
+    s_dist, s_nd = static_dist_nextdir(params, tgt_idx, cls, xy)
     use_dyn = replan
     d = jnp.where(use_dyn, dyn_dist_at, s_dist)
     nd = jnp.where(use_dyn, dyn_nd_at, s_nd)

@@ -92,10 +92,13 @@ def heuristic_policy(
     carrying = env_state.agent_carrying[:Na] > 0
     t = h.timestep
 
-    # Distances from every AGV to every action cell: (Na, T) gather on the
-    # free-grid field (AGVs plan with care_for_agents=False, heuristic.py:71).
-    # field_dist[0, :, y, x] -> transpose gather per agv.
-    dist_all = params.field_dist[0][:, agv_y, agv_x].T  # (Na, T)
+    # Distances from every AGV to every action cell: AGVs plan on the free
+    # grid (care_for_agents=False, heuristic.py:71), so distance is exactly
+    # Manhattan — pure arithmetic, no table gather.
+    ac = params.action_cells  # (T, 2) (y, x)
+    dist_all = jnp.abs(agv_y[:, None] - ac[None, :, 0]) + jnp.abs(
+        agv_x[:, None] - ac[None, :, 1]
+    )  # (Na, T)
 
     # ---- [AGV None -> PICKING]: FIFO queue assignment (heuristic.py:59-77) -
     def assign_one(carry, item):

@@ -8,6 +8,22 @@ odeint. See SURVEY.md for the reference layer map this mirrors.
 from __future__ import annotations
 
 import itertools
+import os
+
+# Persistent XLA compilation cache: this host has a single vCPU, so
+# recompiling the (large) env/training programs dominates wall-clock.
+# Cached executables are reused across processes and pytest runs.
+if not os.environ.get("SWARM_ODE_TPU_NO_CACHE"):
+    import jax
+
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/swarm_ode_tpu_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover — older jax without the flag
+        pass
 
 from swarm_ode_tpu.config import SIZES, REQUEST_QUEUES, EnvConfig, env_id
 from swarm_ode_tpu.definitions import (

@@ -1,0 +1,221 @@
+"""Graph builders + model zoo: shape/semantics tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swarm_ode_tpu.config import EnvConfig
+from swarm_ode_tpu.env.env import WarehouseEnv
+from swarm_ode_tpu.graphs.hetero import hetero_graph_from_obs, split_observation
+from swarm_ode_tpu.graphs import temporal as T
+from swarm_ode_tpu.models.coma import COMAActor, COMACritic, counterfactual_advantage, masked_action_probs
+from swarm_ode_tpu.models.gde import GraphODE
+from swarm_ode_tpu.models.gnode import HeteroGraphODENetwork
+from swarm_ode_tpu.models.gru import GRUTrajectoryPredictor, HeteroGraphGRUNetwork, PositionOnlyLSTM
+from swarm_ode_tpu.models.hetero_gnn import HeteroGNNNetwork
+from swarm_ode_tpu.models.qmix import HeteroQMIXMixer, QMixer
+from swarm_ode_tpu.ops.sage import masked_mean_aggregate
+from swarm_ode_tpu.ops.segment import adjacency_to_edges, gather_scatter_mean
+
+
+@pytest.fixture(scope="module")
+def env():
+    return WarehouseEnv(EnvConfig.from_env_id("tarware-tiny-3agvs-2pickers-partialobs-v1"))
+
+
+@pytest.fixture(scope="module")
+def obs_state(env):
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    # advance a few steps with the heuristic to get targets set
+    from swarm_ode_tpu.env.layout import build_layout
+    from swarm_ode_tpu.policies import heuristic as H
+    from swarm_ode_tpu.env import step as step_mod
+    lay = build_layout(env.config)
+    policy = H.make_policy(env.params, lay)
+    h = H.init_state(env.params)
+
+    @jax.jit
+    def advance(state, h):
+        def body(carry, _):
+            state, h = carry
+            actions, h = policy(env.params, state, h)
+            state, _, _, _ = step_mod.step(env.params, state, actions)
+            return (state, h), None
+        (state, h), _ = jax.lax.scan(body, (state, h), None, length=10)
+        return state, h
+
+    state, h = advance(state, h)
+    from swarm_ode_tpu.env.observations import observe
+    return observe(env.params, state), state
+
+
+def test_split_observation_shapes(env, obs_state):
+    obs, _ = obs_state
+    a, p, l = split_observation(env.params, obs)
+    assert a.shape == (3, 7) and p.shape == (2, 4)
+    assert l.shape == (env.params.num_racks, 2)
+
+
+def test_hetero_graph_semantics(env, obs_state):
+    obs, state = obs_state
+    g = hetero_graph_from_obs(env.params, obs)
+    A, P, L = 3, 2, env.params.num_racks
+    assert g.agv2loc.shape == (A, L) and g.pick2agv.shape == (P, A)
+    # no self communication
+    assert not np.any(np.diag(np.asarray(g.agv2agv)))
+    # loc2agv is transpose of agv2loc
+    assert np.array_equal(np.asarray(g.loc2agv), np.asarray(g.agv2loc).T)
+    # AGV with a target connects to exactly one location; without, to all
+    # requested locations.
+    tgt = np.asarray(state.agent_target[:A])
+    requested = np.asarray(g.loc_x[:, 0] * g.loc_x[:, 1] > 0)
+    for i in range(A):
+        row = np.asarray(g.agv2loc[i])
+        if tgt[i] > env.params.num_goals:
+            assert row.sum() == 1
+        elif tgt[i] == 0:
+            assert np.array_equal(row, requested)
+
+
+def test_dense_sparse_aggregate_equal():
+    rng = np.random.RandomState(0)
+    S, Tn, D = 7, 5, 3
+    adj = jnp.asarray(rng.rand(S, Tn) < 0.4)
+    x = jnp.asarray(rng.randn(S, D).astype(np.float32))
+    dense = masked_mean_aggregate(x, adj, precision=jax.lax.Precision.HIGHEST)
+    src, dst, valid = adjacency_to_edges(adj, capacity=S * Tn)
+    sparse = gather_scatter_mean(x, src, dst, valid, Tn)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sparse), atol=1e-6)
+
+
+def test_temporal_window_and_graph():
+    N, D, W = 4, 10, 3
+    w = T.init_window(W, N, D)
+    rng = np.random.RandomState(1)
+    frames = [jnp.asarray(rng.rand(N, D).astype(np.float32)) for _ in range(5)]
+    for k, f in enumerate(frames):
+        w = T.push_frame(w, f)
+        g = T.build_temporal_graph(w, num_agvs=2, distance_threshold=100.0)
+        valid = min(k + 1, W)
+        assert int(w.count) == valid
+        # current nodes = newest valid slot
+        cur = np.asarray(g.is_current).reshape(W, N)
+        assert cur[valid - 1].all() and cur.sum() == N
+        # newest slot holds the latest frame
+        np.testing.assert_allclose(
+            np.asarray(w.obs[valid - 1]), np.asarray(f))
+    # after overflow, slot 0 holds frames[2]
+    np.testing.assert_allclose(np.asarray(w.obs[0]), np.asarray(frames[2]))
+    # spatial edges: threshold=100 connects all pairs within each frame
+    adj = np.asarray(g.adj).reshape(W, N, W, N)
+    for k in range(W):
+        blk = adj[k, :, k, :]
+        assert blk.sum() == N * N - N
+    # temporal chain: identity between consecutive frames
+    assert np.array_equal(adj[0, :, 1, :], np.eye(N, dtype=bool))
+    # no skip connections
+    assert adj[0, :, 2, :].sum() == 0
+
+
+def test_graph_ode_euler_single_step(env, obs_state):
+    obs, _ = obs_state
+    w = T.init_window(5, env.params.num_agents, obs.shape[1])
+    w = T.push_frame(w, obs)
+    g = T.build_temporal_graph(w, env.params.num_agvs)
+    model = GraphODE(node_dim=obs.shape[1], hidden_dim=16, ode_solver="euler")
+    params = model.init(jax.random.PRNGKey(0), g, jnp.array([0.0, 1.0]))
+    out = model.apply(params, g, jnp.array([0.0, 1.0]))
+    n_nodes = g.x.shape[0]
+    assert out["trajectories"].shape == (2, n_nodes, 2)
+    # euler single step: y1 = y0 + f(0, y0)
+    f0 = model.func.apply(params["func"], 0.0, g.x, g.adj, g.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out["node_features"][1]), np.asarray(g.x + f0), atol=1e-5
+    )
+
+
+def test_hetero_networks_shapes(env, obs_state):
+    obs, _ = obs_state
+    g = hetero_graph_from_obs(env.params, obs)
+    act = env.params.num_actions
+
+    net = HeteroGraphODENetwork(
+        {"agv": 7, "picker": 4, "location": 2}, act, hidden_dim=32
+    )
+    p = net.init(jax.random.PRNGKey(0), g)
+    out = net.apply(p, g)
+    assert out["agv_q_values"].shape == (3, act)
+    assert out["picker_q_values"].shape == (2, act)
+    assert out["location_embeddings"].shape == (env.params.num_racks, 32)
+
+    gnn = HeteroGNNNetwork(action_size=act, hidden_dim=32)
+    p2 = gnn.init(jax.random.PRNGKey(1), g)
+    out2 = gnn.apply(p2, g)
+    assert out2["agv_q_values"].shape == (3, act)
+
+    gru = HeteroGraphGRUNetwork(action_size=act, hidden_dim=32)
+    h0_agv, h0_pick = jnp.zeros((3, 32)), jnp.zeros((2, 32))
+    p3 = gru.init(jax.random.PRNGKey(2), g, h0_agv, h0_pick)
+    out3 = gru.apply(p3, g, h0_agv, h0_pick)
+    assert out3["agv_hidden"].shape == (3, 32)
+    # hidden state actually evolves
+    assert np.abs(np.asarray(out3["agv_hidden"])).sum() > 0
+
+
+def test_trajectory_baselines_shapes():
+    B, Tn, N, D = 2, 5, 4, 12
+    m = GRUTrajectoryPredictor(obs_dim=D, num_agents=N, hidden_dim=16)
+    x = jnp.ones((B, Tn, N, D))
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(p, x).shape == (B, N, 2)
+    m2 = PositionOnlyLSTM(num_agents=N, hidden_dim=16)
+    pos = jnp.ones((B, Tn, N, 2))
+    p2 = m2.init(jax.random.PRNGKey(1), pos)
+    assert m2.apply(p2, pos).shape == (B, N, 2)
+
+
+def test_qmixer_monotonic():
+    B, N, S = 4, 5, 8
+    m = QMixer(num_agents=N, state_dim=S)
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (B, N))
+    s = jax.random.normal(jax.random.PRNGKey(1), (B, S))
+    p = m.init(rng, q, s)
+    out = m.apply(p, q, s)
+    assert out.shape == (B, 1)
+    # monotonic: increasing any agent's Q cannot decrease Q_tot
+    out2 = m.apply(p, q + 1.0, s)
+    assert np.all(np.asarray(out2) >= np.asarray(out) - 1e-5)
+
+    hm = HeteroQMIXMixer(num_agents=N)
+    ph = hm.init(rng, q, s)
+    o1 = hm.apply(ph, q, s)
+    o2 = hm.apply(ph, q + 1.0, s)
+    assert o1.shape == (B,)
+    assert np.all(np.asarray(o2) >= np.asarray(o1) - 1e-5)
+
+
+def test_coma_counterfactual_advantage():
+    B, N, S, A = 3, 4, 6, 5
+    critic = COMACritic(n_agents=N, action_dim=A, hidden_dim=16)
+    gs = jax.random.normal(jax.random.PRNGKey(0), (B, S))
+    acts = jnp.zeros((B, N), jnp.int32)
+    cp = critic.init(jax.random.PRNGKey(1), gs, acts)
+    probs = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(2), (B, A)))
+    adv = counterfactual_advantage(critic.apply, cp, gs, acts, probs, 1, A)
+    assert adv.shape == (B,)
+    # if the policy is a delta on the taken action, advantage == 0
+    delta = jax.nn.one_hot(acts[:, 1], A)
+    adv0 = counterfactual_advantage(critic.apply, cp, gs, acts, delta, 1, A)
+    np.testing.assert_allclose(np.asarray(adv0), 0.0, atol=1e-5)
+
+
+def test_actor_masking():
+    actor = COMAActor(action_dim=6, hidden_dim=8)
+    x = jnp.ones((2, 10))
+    p = actor.init(jax.random.PRNGKey(0), x)
+    logits = actor.apply(p, x)
+    mask = jnp.array([[1, 0, 1, 0, 0, 0], [0, 1, 0, 0, 0, 1]], jnp.float32)
+    probs = masked_action_probs(logits, mask)
+    assert np.allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-6)
+    assert np.all(np.asarray(probs)[np.asarray(mask) == 0] < 1e-6)

@@ -1,0 +1,45 @@
+"""Dataset generation driver (reference scripts/collect_data.py:416-441).
+
+Default sweep matches the reference: 5 env configs x 5 base seeds x 200
+episodes; flags let you scope it down.
+"""
+import sys
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from swarm_ode_tpu.data.collect import collect_data
+
+DEFAULT_ENVS = [
+    "tarware-tiny-3agvs-2pickers-partialobs-v1",
+    "tarware-small-6agvs-3pickers-partialobs-v1",
+    "tarware-medium-10agvs-5pickers-partialobs-v1",
+    "tarware-medium-19agvs-9pickers-partialobs-v1",
+    "tarware-large-15agvs-8pickers-partialobs-v1",
+]
+DEFAULT_SEEDS = [0, 1000, 2000, 3000, 4000]
+
+p = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+p.add_argument("--env_ids", nargs="*", default=DEFAULT_ENVS)
+p.add_argument("--seeds", nargs="*", type=int, default=DEFAULT_SEEDS)
+p.add_argument("--num_episodes", type=int, default=200)
+p.add_argument("--batch", type=int, default=8)
+p.add_argument("--out_dir", default=".")
+
+if __name__ == "__main__":
+    args = p.parse_args()
+    for env_id in args.env_ids:
+        for seed in args.seeds:
+            print(f"Starting data collection for {env_id} with seed {seed}")
+            out = str(
+                Path(args.out_dir) / f"warehouse_data_{env_id}_seed{seed}.h5"
+            )
+            collect_data(
+                env_id,
+                num_episodes=args.num_episodes,
+                seed=seed,
+                out_path=out,
+                batch=args.batch,
+            )
+            print(f"Completed data collection for {env_id} with seed {seed}")

@@ -1,0 +1,150 @@
+"""Datasets over logged HDF5 rollouts.
+
+Parity targets:
+  * WarehouseDataset (reference train_gde.py:278-375): per-step
+    temporal-window graphs paired with next-step agent positions.
+  * SequenceDataset (reference train_baselines.py:13-125): sliding windows
+    of observations/positions with next-position targets.
+
+TPU-native twist: the reference materializes one PyG graph per step on the
+host. Here the dataset holds raw per-episode observation arrays and yields
+*index-based windows*; the temporal graph is built on device inside the
+(vmapped) training step (swarm_ode_tpu/train/train_gde.py), so batching is
+a pure gather and the graph construction runs compiled.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def extract_positions_np(obs: np.ndarray, num_agvs: int) -> np.ndarray:
+    """(T, N, 2) (x, y) positions from padded obs — AGVs carry (y, x) at
+    indices 3,4, pickers at 0,1; output is (x, y) like the reference
+    (train_gde.py:336-355, train_baselines.py:100-114)."""
+    T, N, _ = obs.shape
+    idx = np.arange(N)
+    is_agv = idx < num_agvs
+    y = np.where(is_agv[None, :], obs[:, :, 3], obs[:, :, 0])
+    x = np.where(is_agv[None, :], obs[:, :, 4], obs[:, :, 1])
+    return np.stack([x, y], axis=-1).astype(np.float32)
+
+
+@dataclasses.dataclass
+class TrajectoryDataset:
+    """Episodes of logged observations with window-indexed access."""
+
+    episodes: List[np.ndarray]  # each (T, N, D) float32
+    num_agvs: int
+    num_pickers: int
+    seq_len: int
+
+    def __post_init__(self):
+        # window index: (episode, end_step) such that end_step + 1 exists.
+        self._index: List[Tuple[int, int]] = []
+        for e, ep in enumerate(self.episodes):
+            T = ep.shape[0]
+            for t in range(T - 1):
+                self._index.append((e, t))
+        self._positions = [
+            extract_positions_np(ep, self.num_agvs) for ep in self.episodes
+        ]
+
+    # ------------------------------------------------------------------
+    @property
+    def obs_dim(self) -> int:
+        return self.episodes[0].shape[2]
+
+    @property
+    def num_agents(self) -> int:
+        return self.episodes[0].shape[1]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def window(self, i: int):
+        """Returns (obs_window (W, N, D), valid_count, next_pos (N, 2),
+        pos_window (W, N, 2)).
+
+        The window ends at step t (newest frame == frame at t); frames
+        before episode start are zero-padded with valid_count < W —
+        mirroring the reference's warm-up deque (train_gde.py:114).
+        """
+        e, t = self._index[i]
+        W = self.seq_len
+        ep = self.episodes[e]
+        lo = max(0, t - W + 1)
+        frames = ep[lo : t + 1]
+        count = frames.shape[0]
+        obs_w = np.zeros((W, ep.shape[1], ep.shape[2]), np.float32)
+        obs_w[:count] = frames
+        pos_w = np.zeros((W, ep.shape[1], 2), np.float32)
+        pos_w[:count] = self._positions[e][lo : t + 1]
+        next_pos = self._positions[e][t + 1]
+        return obs_w, count, next_pos, pos_w
+
+    def batch(self, indices: Sequence[int]):
+        """Gather a batch: dict of stacked numpy arrays."""
+        obs, counts, nxt, pos = zip(*(self.window(i) for i in indices))
+        return {
+            "obs": np.stack(obs),  # (B, W, N, D)
+            "count": np.asarray(counts, np.int32),  # (B,)
+            "next_pos": np.stack(nxt),  # (B, N, 2)
+            "pos": np.stack(pos),  # (B, W, N, 2)
+        }
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_h5(
+        paths: Sequence[str],
+        seq_len: int = 5,
+        max_episodes: Optional[int] = None,
+    ) -> "TrajectoryDataset":
+        """Load from reference-schema HDF5 files (train_gde.py:293-332)."""
+        if h5py is None:
+            raise ImportError("h5py is required")
+        episodes: List[np.ndarray] = []
+        num_agvs = num_pickers = None
+        for path in paths:
+            with h5py.File(path, "r") as f:
+                ep_names = sorted(
+                    k for k in f.keys() if k.startswith("episode_")
+                )
+                for name in ep_names:
+                    if max_episodes and len(episodes) >= max_episodes:
+                        break
+                    ep = f[name]
+                    if num_agvs is None:
+                        num_agvs = int(ep["metadata"].attrs["num_agvs"])
+                        num_pickers = int(ep["metadata"].attrs["num_pickers"])
+                    steps = ep["steps"]
+                    obs = np.stack(
+                        [
+                            steps[s]["observations"][:]
+                            for s in sorted(steps.keys())
+                        ]
+                    ).astype(np.float32)
+                    episodes.append(obs)
+        return TrajectoryDataset(
+            episodes=episodes,
+            num_agvs=num_agvs,
+            num_pickers=num_pickers,
+            seq_len=seq_len,
+        )
+
+
+def train_val_split(
+    n: int, val_frac: float = 0.2, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """80/20 random split (reference train_gde.py:448-450)."""
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_val = int(n * val_frac)
+    return perm[n_val:], perm[:n_val]

@@ -1,0 +1,187 @@
+"""Offline Graph-ODE trajectory training (reference train_gde.py:428-535).
+
+Recipe parity: AdamW(lr 1e-3, weight decay 1e-4), grad-clip 1.0, batch 32,
+200 epochs, 80/20 split, MSE between the ODE solution's t=1 decoded
+positions of the *current-frame* nodes and the next-step positions
+(train_gde.py:469-535).
+
+TPU-native: the temporal graphs are built on device inside the jitted
+train step (vmapped builder), the batch is sharded over the mesh's `dp`
+axis with replicated parameters, and XLA inserts the gradient psum —
+shard_map-style data parallelism with zero hand-written collectives.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from swarm_ode_tpu.data.dataset import TrajectoryDataset, train_val_split
+from swarm_ode_tpu.graphs.temporal import TemporalWindow, build_temporal_graph
+from swarm_ode_tpu.models.gde import GraphODE
+from swarm_ode_tpu.parallel import mesh as meshlib
+from swarm_ode_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass
+class GDETrainConfig:
+    num_epochs: int = 200
+    batch_size: int = 32
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    hidden_dim: int = 64
+    ode_solver: str = "euler"
+    distance_threshold: float = 5.0
+    seed: int = 0
+    val_frac: float = 0.2
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 50
+
+
+def _batch_loss(model: GraphODE, num_agvs, distance_threshold):
+    t_span = jnp.array([0.0, 1.0], jnp.float32)
+
+    def loss_fn(params, batch):
+        def one(obs_w, count, next_pos):
+            w = TemporalWindow(obs=obs_w, count=count)
+            g = build_temporal_graph(w, num_agvs, distance_threshold)
+            out = model.apply(params, g, t_span)
+            W, N = obs_w.shape[0], obs_w.shape[1]
+            pred = out["trajectories"][1].reshape(W, N, 2)
+            cur = pred[jnp.maximum(count - 1, 0)]  # newest frame's agents
+            return jnp.mean((cur - next_pos) ** 2)
+
+        losses = jax.vmap(one)(batch["obs"], batch["count"], batch["next_pos"])
+        weights = batch["weight"]
+        return jnp.sum(losses * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+    return loss_fn
+
+
+def train_gde(
+    dataset: TrajectoryDataset,
+    config: GDETrainConfig = GDETrainConfig(),
+    logger: Optional[MetricsLogger] = None,
+    verbose: bool = True,
+) -> Dict:
+    """Train GraphODE on a trajectory dataset. Returns dict with params and
+    loss history."""
+    mesh = meshlib.make_mesh(("dp",))
+    n_dev = mesh.devices.size
+    model = GraphODE(
+        node_dim=dataset.obs_dim,
+        num_agvs=dataset.num_agvs,
+        num_pickers=dataset.num_pickers,
+        hidden_dim=config.hidden_dim,
+        ode_solver=config.ode_solver,
+    )
+
+    # Init from one sample window.
+    sample = dataset.batch([0])
+    w0 = TemporalWindow(
+        obs=jnp.asarray(sample["obs"][0]), count=jnp.int32(sample["count"][0])
+    )
+    g0 = build_temporal_graph(w0, dataset.num_agvs, config.distance_threshold)
+    params = model.init(
+        jax.random.PRNGKey(config.seed), g0, jnp.array([0.0, 1.0])
+    )
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adamw(config.lr, weight_decay=config.weight_decay),
+    )
+    opt_state = tx.init(params)
+    params = meshlib.replicate(mesh, params)
+    opt_state = meshlib.replicate(mesh, opt_state)
+
+    loss_fn = _batch_loss(model, dataset.num_agvs, config.distance_threshold)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    eval_loss = jax.jit(loss_fn)
+
+    def device_batch(idx):
+        b = dataset.batch(idx)
+        b = {
+            "obs": b["obs"],
+            "count": b["count"],
+            "next_pos": b["next_pos"],
+            "weight": np.ones(len(idx), np.float32),
+        }
+        b, mask = meshlib.pad_to_multiple(
+            jax.tree.map(jnp.asarray, b), n_dev
+        )
+        b["weight"] = b["weight"] * mask
+        return meshlib.shard_batch(mesh, b)
+
+    train_idx, val_idx = train_val_split(
+        len(dataset), config.val_frac, config.seed
+    )
+    rng = np.random.RandomState(config.seed)
+    history = {"train_loss": [], "val_loss": []}
+    best_val = np.inf
+    best_params = params
+    ckpt = None
+    if config.checkpoint_dir:
+        from swarm_ode_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(config.checkpoint_dir)
+
+    B = config.batch_size
+    for epoch in range(config.num_epochs):
+        t0 = time.time()
+        perm = rng.permutation(train_idx)
+        tot, nb = 0.0, 0
+        for i in range(0, len(perm) - B + 1, B):
+            batch = device_batch(perm[i : i + B])
+            params, opt_state, loss = train_step(params, opt_state, batch)
+            tot += float(loss)
+            nb += 1
+        train_loss = tot / max(nb, 1)
+
+        vtot, vnb = 0.0, 0
+        for i in range(0, max(len(val_idx) - B + 1, 1), B):
+            batch = device_batch(val_idx[i : i + B])
+            vtot += float(eval_loss(params, batch))
+            vnb += 1
+        val_loss = vtot / max(vnb, 1)
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        if val_loss < best_val:
+            best_val = val_loss
+            best_params = params
+            if ckpt:
+                ckpt.save(epoch, {"params": jax.tree.map(np.asarray, params)},
+                          force=True)
+        if ckpt and epoch % config.checkpoint_every == 0:
+            ckpt.save(epoch, {"params": jax.tree.map(np.asarray, params)},
+                      force=True)
+        if logger:
+            logger.log(
+                {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss}
+            )
+        if verbose:
+            print(
+                f"Epoch {epoch:3d} | Train Loss: {train_loss:.6f} "
+                f"| Val Loss: {val_loss:.6f} | {time.time() - t0:.1f}s",
+                flush=True,
+            )
+
+    return {
+        "model": model,
+        "params": best_params,
+        "final_params": params,
+        "history": history,
+        "best_val_loss": best_val,
+    }

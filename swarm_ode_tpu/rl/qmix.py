@@ -1,0 +1,158 @@
+"""QMIX: monotonic value decomposition over graph Q-networks.
+
+Parity: QMIXAgent (reference run_gnode.py:718-932) — double-DQN target
+action selection, hypernetwork mixer over the taken per-agent Q-values,
+team reward, epsilon-greedy behavior, periodic hard target sync, grad clip
+10.0 — and the simpler GraphMARL_QMIX loop (graph.py:190-334, clip 1.0).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from swarm_ode_tpu.env.state import EnvParams
+from swarm_ode_tpu.graphs.hetero import HeteroGraph, build_hetero_graph
+from swarm_ode_tpu.models.qmix import HeteroQMIXMixer
+
+
+@dataclasses.dataclass
+class QMIXConfig:
+    lr: float = 1e-3
+    gamma: float = 0.99
+    epsilon_start: float = 1.0
+    epsilon_decay: float = 0.995
+    epsilon_min: float = 0.01
+    grad_clip: float = 10.0
+    batch_size: int = 32
+    update_target_freq: int = 200
+    mixing_embed_dim: int = 32
+    hypernet_embed: int = 64
+
+
+@struct.dataclass
+class QMIXState:
+    params: Any  # {'q': ..., 'mixer': ...}
+    target_params: Any
+    opt_state: Any
+    epsilon: jnp.ndarray
+    step: jnp.ndarray
+
+
+class QMIXAgent:
+    def __init__(self, network, env_params: EnvParams,
+                 global_state_dim: int, config: QMIXConfig = QMIXConfig()):
+        self.net = network
+        self.env_params = env_params
+        self.cfg = config
+        self.mixer = HeteroQMIXMixer(
+            num_agents=env_params.num_agents,
+            mixing_embed_dim=config.mixing_embed_dim,
+            hypernet_embed=config.hypernet_embed,
+        )
+        self.global_state_dim = global_state_dim
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip),
+            optax.adam(config.lr),
+        )
+
+    def init(self, key, example_graph: HeteroGraph) -> QMIXState:
+        k1, k2 = jax.random.split(key)
+        q_params = self.net.init(k1, example_graph)
+        mixer_params = self.mixer.init(
+            k2,
+            jnp.zeros((1, self.env_params.num_agents)),
+            jnp.zeros((1, self.global_state_dim)),
+        )
+        params = {"q": q_params, "mixer": mixer_params}
+        return QMIXState(
+            params=params,
+            target_params=params,
+            opt_state=self.tx.init(params),
+            epsilon=jnp.float32(self.cfg.epsilon_start),
+            step=jnp.int32(0),
+        )
+
+    def q_values(self, q_params, graph: HeteroGraph) -> jnp.ndarray:
+        out = self.net.apply(q_params, graph)
+        return jnp.concatenate(
+            [out["agv_q_values"], out["picker_q_values"]], axis=0
+        )
+
+    def act(self, state: QMIXState, graph, masks, key, training=True):
+        q = self.q_values(state.params["q"], graph)
+        masked_q = jnp.where(masks > 0, q, -jnp.inf)
+        greedy = jnp.argmax(masked_q, axis=-1)
+        k1, k2 = jax.random.split(key)
+        logits = jnp.where(masks > 0, 0.0, -1e9)
+        rand = jax.random.categorical(k1, logits, axis=-1)
+        explore = (jax.random.uniform(k2, greedy.shape) < state.epsilon) & training
+        return jnp.where(explore, rand, greedy).astype(jnp.int32)
+
+    def _graph(self, feats):
+        return build_hetero_graph(
+            self.env_params, feats["agv"], feats["picker"], feats["loc"]
+        )
+
+    def learn(self, state: QMIXState, batch: Dict):
+        """batch: obs_feats/next_feats, global_state/next_global_state
+        (B, S), actions (B, A), reward (B,) team, done (B,)."""
+        cfg = self.cfg
+
+        def loss_fn(params):
+            def q_taken_one(p, feats, actions):
+                q = self.q_values(p, feats_g := self._graph(feats))
+                return jnp.take_along_axis(
+                    q, actions[:, None], -1
+                ).squeeze(-1)
+
+            q_taken = jax.vmap(
+                lambda f, a: q_taken_one(params["q"], f, a)
+            )(batch["obs_feats"], batch["actions"])  # (B, A)
+            q_tot = self.mixer.apply(
+                params["mixer"], q_taken, batch["global_state"]
+            )  # (B,)
+
+            # Double DQN: argmax by online net, evaluate by target net
+            # (reference run_gnode.py:869-883).
+            def next_q_one(feats):
+                g = self._graph(feats)
+                q_online = self.q_values(params["q"], g)
+                a_star = jnp.argmax(q_online, axis=-1)
+                q_tgt = self.q_values(state.target_params["q"], g)
+                return jnp.take_along_axis(
+                    q_tgt, a_star[:, None], -1
+                ).squeeze(-1)
+
+            next_q = jax.vmap(next_q_one)(batch["next_feats"])  # (B, A)
+            next_tot = self.mixer.apply(
+                state.target_params["mixer"], next_q,
+                batch["next_global_state"],
+            )
+            target = batch["reward"] + cfg.gamma * next_tot * (
+                1.0 - batch["done"].astype(jnp.float32)
+            )
+            return jnp.mean((q_tot - jax.lax.stop_gradient(target)) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        sync = (step % cfg.update_target_freq) == 0
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(sync, p, t), state.target_params, params
+        )
+        new_state = QMIXState(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            epsilon=jnp.maximum(
+                state.epsilon * cfg.epsilon_decay, cfg.epsilon_min
+            ),
+            step=step,
+        )
+        return new_state, {"loss": loss, "epsilon": new_state.epsilon}

@@ -1,0 +1,300 @@
+"""Online MARL training loops (reference scripts run_gnode.py:1328-1531,
+gru.py:1035-1275, graph.py:632-701).
+
+Structure parity per episode: reset -> build graph -> masked epsilon-greedy
+act -> env step -> store transition -> learn every step once the buffer is
+warm -> periodic target sync -> per-episode stat line.
+
+TPU-native: the entire episode (env stepping, graph building, action
+selection, replay writes, gradient updates) runs as ONE `lax.scan` on
+device; the host sees one transfer per episode. The reference's Python
+deque + per-sample loops become the on-device ring buffer (rl/replay.py)
+and vmapped batch losses.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swarm_ode_tpu.config import EnvConfig
+from swarm_ode_tpu.env import observations, step as step_mod
+from swarm_ode_tpu.env.layout import build_layout
+from swarm_ode_tpu.env.state import make_params
+from swarm_ode_tpu.graphs.hetero import hetero_graph_from_obs, split_observation
+from swarm_ode_tpu.models.gnode import HeteroGraphODENetwork
+from swarm_ode_tpu.models.hetero_gnn import HeteroGNNEncoder, HeteroGNNNetwork
+from swarm_ode_tpu.rl import replay
+from swarm_ode_tpu.rl.coma import COMAAgent, COMAConfig
+from swarm_ode_tpu.rl.dqn import DQNConfig, IQLAgent
+from swarm_ode_tpu.rl.qmix import QMIXAgent, QMIXConfig
+from swarm_ode_tpu.utils.logging import MetricsLogger
+from swarm_ode_tpu.utils.metrics import pick_rate
+
+
+@dataclasses.dataclass
+class RLRunConfig:
+    env_id: str = "tarware-medium-19agvs-9pickers-partialobs-v1"
+    algo: str = "qmix"  # iql | qmix | coma
+    net: str = "gnode"  # gnode | gnn
+    num_episodes: int = 100
+    hidden_dim: int = 64
+    buffer_size: int = 20_000
+    batch_size: int = 32
+    learn_every: int = 1
+    target_sync_episodes: int = 20  # IQL (reference gru.py target sync)
+    seed: int = 0
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 100
+
+
+def _make_network(cfg: RLRunConfig, action_size: int, num_agvs: int = 0,
+                  num_pickers: int = 0):
+    node_dims = {"agv": 7, "picker": 4, "location": 2}
+    if cfg.net == "gnode":
+        return HeteroGraphODENetwork(node_dims, action_size, cfg.hidden_dim)
+    if cfg.net == "gnn":
+        net = HeteroGNNNetwork(action_size=action_size, hidden_dim=cfg.hidden_dim)
+
+        class _Wrap:  # align flax module to init/apply composite protocol
+            def init(self, key, g):
+                return net.init(key, g)
+
+            def apply(self, p, g):
+                return net.apply(p, g)
+
+        return _Wrap()
+    if cfg.net == "gru":
+        from swarm_ode_tpu.models.gru import HeteroGraphGRUNetwork
+
+        net = HeteroGraphGRUNetwork(
+            action_size=action_size, hidden_dim=cfg.hidden_dim
+        )
+        h0 = (jnp.zeros((num_agvs, cfg.hidden_dim)),
+              jnp.zeros((num_pickers, cfg.hidden_dim)))
+
+        class _WrapGRU:
+            init_hidden = h0
+
+            def init(self, key, g):
+                return net.init(key, g, *h0)
+
+            def apply(self, p, g, h_agv=None, h_pick=None):
+                if h_agv is None:
+                    h_agv, h_pick = h0
+                return net.apply(p, g, h_agv, h_pick)
+
+        return _WrapGRU()
+    raise ValueError(cfg.net)
+
+
+def _agent_params(astate):
+    p = astate.params
+    return p["q"] if isinstance(p, dict) and "q" in p else p
+
+
+def _feats(params, obs):
+    a, p, l = split_observation(params, obs)
+    return {"agv": a, "picker": p, "loc": l}
+
+
+def _global_state(feats):
+    return jnp.concatenate(
+        [feats["agv"].reshape(-1), feats["picker"].reshape(-1),
+         feats["loc"].reshape(-1)]
+    )
+
+
+def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
+             verbose: bool = True) -> Dict:
+    env_cfg = EnvConfig.from_env_id(cfg.env_id)
+    lay = build_layout(env_cfg)
+    params = make_params(env_cfg, lay)
+    action_size = params.num_actions
+    steps = env_cfg.max_steps or 500
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # Example graph for initialization.
+    key, k0 = jax.random.split(key)
+    es0 = step_mod.reset(params, k0)
+    obs0 = observations.observe(params, es0)
+    g0 = hetero_graph_from_obs(params, obs0)
+    feats0 = _feats(params, obs0)
+    gs_dim = int(_global_state(feats0).shape[0])
+
+    net = _make_network(cfg, action_size, params.num_agvs, params.num_pickers)
+    is_gru = cfg.net == "gru"
+    if is_gru and cfg.algo != "iql":
+        # The reference pairs the GRU net with IQL only (gru.py:1035-1275).
+        raise ValueError("net='gru' currently supports algo='iql'")
+    if cfg.algo == "iql":
+        agent = IQLAgent(net, params, DQNConfig(batch_size=cfg.batch_size))
+    elif cfg.algo == "qmix":
+        agent = QMIXAgent(net, params, gs_dim,
+                          QMIXConfig(batch_size=cfg.batch_size))
+    elif cfg.algo == "coma":
+        encoder = HeteroGNNEncoder(cfg.hidden_dim, 2)
+        agent = COMAAgent(encoder, params, action_size, gs_dim,
+                          cfg.hidden_dim, COMAConfig())
+    else:
+        raise ValueError(cfg.algo)
+
+    key, ki = jax.random.split(key)
+    astate = agent.init(ki, g0)
+
+    example_item = {
+        "obs_feats": feats0,
+        "next_feats": feats0,
+        "actions": jnp.zeros(params.num_agents, jnp.int32),
+        "rewards": jnp.zeros(params.num_agents, jnp.float32),
+        "global_state": _global_state(feats0),
+        "next_global_state": _global_state(feats0),
+        "done": jnp.bool_(False),
+    }
+    if is_gru:
+        example_item["extras"] = net.init_hidden
+        example_item["next_extras"] = net.init_hidden
+    buf = replay.init(example_item, cfg.buffer_size)
+
+    off_policy = cfg.algo in ("iql", "qmix")
+
+    def batch_from(sampled):
+        if cfg.algo == "iql":
+            b = {
+                "obs_feats": sampled["obs_feats"],
+                "next_feats": sampled["next_feats"],
+                "actions": sampled["actions"],
+                "rewards": sampled["rewards"],
+                "dones": sampled["done"],
+            }
+            if is_gru:
+                b["extras"] = sampled["extras"]
+                b["next_extras"] = sampled["next_extras"]
+            return b
+        return {
+            "obs_feats": sampled["obs_feats"],
+            "next_feats": sampled["next_feats"],
+            "actions": sampled["actions"],
+            "reward": sampled["rewards"].sum(-1),  # team reward
+            "global_state": sampled["global_state"],
+            "next_global_state": sampled["next_global_state"],
+            "done": sampled["done"],
+        }
+
+    @jax.jit
+    def run_episode(es, astate, buf, key):
+        def body(carry, _):
+            es, astate, buf, key, hidden = carry
+            key, ka, ks = jax.random.split(key, 3)
+            obs = observations.observe(params, es)
+            feats = _feats(params, obs)
+            g = hetero_graph_from_obs(params, obs)
+            masks = observations.compute_valid_action_masks(params, es)
+            if is_gru:
+                out = net.apply(_agent_params(astate), g, *hidden)
+                new_hidden = (out["agv_hidden"], out["picker_hidden"])
+                actions = agent.act(astate, g, masks, ka, extras=hidden)
+            else:
+                new_hidden = hidden
+                actions = agent.act(astate, g, masks, ka)
+            es2, rew, done, info = step_mod.step(params, es, actions)
+            obs2 = observations.observe(params, es2)
+            feats2 = _feats(params, obs2)
+            item = {
+                "obs_feats": feats,
+                "next_feats": feats2,
+                "actions": actions,
+                "rewards": rew,
+                "global_state": _global_state(feats),
+                "next_global_state": _global_state(feats2),
+                "done": done,
+            }
+            if is_gru:
+                item["extras"] = hidden
+                item["next_extras"] = new_hidden
+            hidden = new_hidden
+            buf = replay.add(buf, item)
+            if off_policy:
+                ready = buf.size >= cfg.batch_size
+                sampled = replay.sample(buf, ks, cfg.batch_size)
+                new_astate, aux = agent.learn(astate, batch_from(sampled))
+                astate = jax.tree.map(
+                    lambda n, o: jnp.where(ready, n, o), new_astate, astate
+                )
+                loss = jnp.where(ready, aux["loss"], 0.0)
+            else:
+                loss = 0.0
+            out = (rew.sum(), info["shelf_deliveries"], info["clashes"],
+                   info["stucks"], loss)
+            return (es2, astate, buf, key, hidden), out
+
+        hidden0 = net.init_hidden if is_gru else ()
+        (es, astate, buf, key, _), outs = jax.lax.scan(
+            body, (es, astate, buf, key, hidden0), None, length=steps
+        )
+        return es, astate, buf, key, outs
+
+    coma_update = jax.jit(agent.update) if cfg.algo == "coma" else None
+
+    history = []
+    ckpt = None
+    if cfg.checkpoint_dir:
+        from swarm_ode_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(cfg.checkpoint_dir)
+
+    for ep in range(cfg.num_episodes):
+        key, kr = jax.random.split(key)
+        es = step_mod.reset(params, kr)
+        t0 = time.time()
+        es, astate, buf, key, outs = run_episode(es, astate, buf, key)
+        rew_sum, deliv, clash, stuck, loss = jax.tree.map(np.asarray, outs)
+        if cfg.algo == "coma":
+            key, ks = jax.random.split(key)
+            sampled = replay.sample(buf, ks, cfg.batch_size)
+            astate, aux = coma_update(
+                astate,
+                {
+                    "obs_feats": sampled["obs_feats"],
+                    "global_state": sampled["global_state"],
+                    "actions": sampled["actions"],
+                    "rewards": sampled["rewards"].sum(-1),
+                    "next_global_state": sampled["next_global_state"],
+                    "dones": sampled["done"],
+                },
+            )
+        if cfg.algo == "iql" and (ep + 1) % cfg.target_sync_episodes == 0:
+            astate = agent.sync_target(astate)
+        stats = {
+            "episode": ep,
+            "return": float(rew_sum.sum()),
+            "deliveries": int(deliv.sum()),
+            "clashes": int(clash.sum()),
+            "stucks": int(stuck.sum()),
+            "pick_rate": pick_rate(int(deliv.sum()), steps),
+            "loss": float(loss[loss != 0].mean()) if (loss != 0).any() else 0.0,
+            "seconds": time.time() - t0,
+        }
+        history.append(stats)
+        if logger:
+            logger.log(stats, step=ep)
+        if verbose:
+            print(
+                f"[{cfg.algo}+{cfg.net}] Episode {ep}: "
+                f"| [Overall Pick Rate={stats['pick_rate']:.2f}]"
+                f"| [Global return={stats['return']:.2f}]"
+                f"| [Total shelf deliveries={stats['deliveries']}]"
+                f"| [Total clashes={stats['clashes']}]"
+                f"| [Total stuck={stats['stucks']}]"
+                f" | [loss={stats['loss']:.4f}] [{stats['seconds']:.1f}s]",
+                flush=True,
+            )
+        if ckpt and (ep + 1) % cfg.checkpoint_every == 0:
+            ckpt.save(ep, {"agent": jax.tree.map(np.asarray, astate)},
+                      force=True)
+
+    return {"agent_state": astate, "history": history}

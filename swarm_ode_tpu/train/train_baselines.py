@@ -1,0 +1,142 @@
+"""GRU/LSTM trajectory-prediction baselines (reference
+train_baselines.py:338-531).
+
+Same recipe as the reference's `train_baseline_model`: AdamW, grad clip,
+MSE on next positions; four model variants (GRU / LSTM on observations,
+PositionOnly GRU / LSTM). Batches are dp-sharded like train_gde.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from swarm_ode_tpu.data.dataset import TrajectoryDataset, train_val_split
+from swarm_ode_tpu.models.gru import (
+    GRUTrajectoryPredictor,
+    LSTMTrajectoryPredictor,
+    PositionOnlyGRU,
+    PositionOnlyLSTM,
+)
+from swarm_ode_tpu.parallel import mesh as meshlib
+
+MODEL_FACTORIES = {
+    "gru": lambda ds, hid: GRUTrajectoryPredictor(
+        obs_dim=ds.obs_dim, num_agents=ds.num_agents, hidden_dim=hid
+    ),
+    "lstm": lambda ds, hid: LSTMTrajectoryPredictor(
+        obs_dim=ds.obs_dim, num_agents=ds.num_agents, hidden_dim=hid
+    ),
+    "pos_gru": lambda ds, hid: PositionOnlyGRU(
+        num_agents=ds.num_agents, hidden_dim=hid
+    ),
+    "pos_lstm": lambda ds, hid: PositionOnlyLSTM(
+        num_agents=ds.num_agents, hidden_dim=hid
+    ),
+}
+
+
+@dataclasses.dataclass
+class BaselineTrainConfig:
+    model: str = "gru"  # gru | lstm | pos_gru | pos_lstm
+    num_epochs: int = 200
+    batch_size: int = 32
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    hidden_dim: int = 128
+    seed: int = 0
+    val_frac: float = 0.2
+
+
+def train_baseline(
+    dataset: TrajectoryDataset,
+    config: BaselineTrainConfig = BaselineTrainConfig(),
+    verbose: bool = True,
+) -> Dict:
+    mesh = meshlib.make_mesh(("dp",))
+    n_dev = mesh.devices.size
+    position_only = config.model.startswith("pos_")
+    model = MODEL_FACTORIES[config.model](dataset, config.hidden_dim)
+
+    sample = dataset.batch([0])
+    x0 = jnp.asarray(sample["pos" if position_only else "obs"])
+    params = model.init(jax.random.PRNGKey(config.seed), x0)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adamw(config.lr, weight_decay=config.weight_decay),
+    )
+    opt_state = tx.init(params)
+    params = meshlib.replicate(mesh, params)
+    opt_state = meshlib.replicate(mesh, opt_state)
+
+    def loss_fn(p, batch):
+        x = batch["pos"] if position_only else batch["obs"]
+        pred = model.apply(p, x)  # (B, N, 2)
+        per = jnp.mean((pred - batch["next_pos"]) ** 2, axis=(1, 2))
+        w = batch["weight"]
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    eval_loss = jax.jit(loss_fn)
+
+    def device_batch(idx):
+        b = dataset.batch(idx)
+        b = {
+            "obs": b["obs"],
+            "pos": b["pos"],
+            "next_pos": b["next_pos"],
+            "weight": np.ones(len(idx), np.float32),
+        }
+        b, mask = meshlib.pad_to_multiple(jax.tree.map(jnp.asarray, b), n_dev)
+        b["weight"] = b["weight"] * mask
+        return meshlib.shard_batch(mesh, b)
+
+    train_idx, val_idx = train_val_split(len(dataset), config.val_frac,
+                                         config.seed)
+    rng = np.random.RandomState(config.seed)
+    history = {"train_loss": [], "val_loss": []}
+    best_val, best_params = np.inf, params
+    B = config.batch_size
+    for epoch in range(config.num_epochs):
+        t0 = time.time()
+        perm = rng.permutation(train_idx)
+        tot, nb = 0.0, 0
+        for i in range(0, len(perm) - B + 1, B):
+            batch = device_batch(perm[i : i + B])
+            params, opt_state, loss = train_step(params, opt_state, batch)
+            tot += float(loss)
+            nb += 1
+        vtot, vnb = 0.0, 0
+        for i in range(0, max(len(val_idx) - B + 1, 1), B):
+            vtot += float(eval_loss(params, device_batch(val_idx[i : i + B])))
+            vnb += 1
+        train_loss, val_loss = tot / max(nb, 1), vtot / max(vnb, 1)
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        if val_loss < best_val:
+            best_val, best_params = val_loss, params
+        if verbose:
+            print(
+                f"[{config.model}] Epoch {epoch:3d} | Train: {train_loss:.6f}"
+                f" | Val: {val_loss:.6f} | {time.time() - t0:.1f}s",
+                flush=True,
+            )
+    return {
+        "model": model,
+        "params": best_params,
+        "history": history,
+        "best_val_loss": best_val,
+    }

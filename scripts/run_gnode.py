@@ -1,0 +1,36 @@
+"""Online RL: Graph-ODE network + QMIX (reference scripts/run_gnode.py
+"ode+qmix" run, :1328-1531)."""
+import sys
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from swarm_ode_tpu.train.run_rl import RLRunConfig, run_marl
+from swarm_ode_tpu.utils.logging import MetricsLogger
+
+p = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+p.add_argument("--num_episodes", type=int, default=1000)
+p.add_argument("--seed", type=int, default=0)
+p.add_argument("--render", action="store_true")
+p.add_argument("--env_id", default="tarware-medium-19agvs-9pickers-partialobs-v1")
+p.add_argument("--algo", default="qmix", choices=["iql", "qmix", "coma"])
+p.add_argument("--net", default="gnode", choices=["gnode", "gnn", "gru"])
+p.add_argument("--hidden_dim", type=int, default=128)
+p.add_argument("--checkpoint_dir", default=None)
+
+if __name__ == "__main__":
+    args = p.parse_args()
+    cfg = RLRunConfig(
+        env_id=args.env_id,
+        algo=args.algo,
+        net=args.net,
+        num_episodes=args.num_episodes,
+        hidden_dim=args.hidden_dim,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    logger = MetricsLogger("swarm_ode", name=f"{args.net}+{args.algo}",
+                           config=vars(args), out_dir="runs")
+    run_marl(cfg, logger=logger)
+    logger.finish()

@@ -65,6 +65,9 @@ class EnvConfig:
     #   "greedy" - one-step lookahead penalizing occupied cells (cheap).
     #   "off"    - keep following the static shortest-path field.
     replan_mode: str = "bfs"
+    # BFS implementation: 'auto' picks the Pallas VMEM-resident kernel on
+    # TPU and the XLA stencil scan on CPU; force with 'pallas' / 'xla'.
+    bfs_backend: str = "auto"
 
     @property
     def num_agents(self) -> int:

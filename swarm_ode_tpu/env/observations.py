@@ -18,7 +18,25 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from swarm_ode_tpu.definitions import Action
-from swarm_ode_tpu.env.state import EnvParams, EnvState, occupancy_grids
+from swarm_ode_tpu.env.queries import occupant_max_id
+from swarm_ode_tpu.env.state import EnvParams, EnvState
+
+
+def _carried_flags(params: EnvParams, state: EnvState) -> jnp.ndarray:
+    return (
+        jnp.zeros(params.num_shelves + 1, jnp.bool_)
+        .at[state.agent_carrying]
+        .set(True)[1:]
+    )
+
+
+def _shelf_id_at(params: EnvParams, state: EnvState, cells_yx: jnp.ndarray):
+    """(Q,) non-carried shelf id at each (y, x) query cell — gridless
+    equivalent of the reference's SHELVES layer lookup."""
+    on_grid = ~_carried_flags(params, state)
+    return occupant_max_id(
+        state.shelf_xy, on_grid, cells_yx[:, 1], cells_yx[:, 0]
+    )
 
 
 def obs_lengths(params: EnvParams) -> Tuple[int, int]:
@@ -51,24 +69,28 @@ def _coords(params: EnvParams, yx_pairs: jnp.ndarray) -> jnp.ndarray:
 def shelf_request_info(params: EnvParams, state: EnvState) -> jnp.ndarray:
     """(L,) float: rack cell holds a requested shelf. Action-id order
     (reference warehouse.py:335-342)."""
-    _, _, shelf_grid, _ = occupancy_grids(params, state)
     in_queue = (
         jnp.zeros(params.num_shelves + 1, jnp.bool_)
         .at[state.request_queue]
         .set(True)
     )
-    sid = shelf_grid[params.rack_cells[:, 0], params.rack_cells[:, 1]]
+    sid = _shelf_id_at(params, state, params.rack_cells)
     return ((sid > 0) & in_queue[sid]).astype(jnp.float32)
 
 
 def empty_shelf_info(params: EnvParams, state: EnvState) -> jnp.ndarray:
     """(L,) float: rack cell is free to receive a shelf — no shelf present
     and no AGV about to unload there (reference warehouse.py:344-356)."""
-    agv_grid, _, shelf_grid, carried_grid = occupancy_grids(params, state)
     ys, xs = params.rack_cells[:, 0], params.rack_cells[:, 1]
-    sid = shelf_grid[ys, xs]
-    cid = carried_grid[ys, xs]
-    aid = agv_grid[ys, xs]
+    sid = _shelf_id_at(params, state, params.rack_cells)
+    # Carried shelf at the rack cell (reference CARRIED_SHELVES layer) and
+    # the occupying AGV's pending action.
+    eq = (state.agent_xy[None, :, 0] == xs[:, None]) & (
+        state.agent_xy[None, :, 1] == ys[:, None]
+    )  # (L, A)
+    cid = jnp.max(jnp.where(eq, state.agent_carrying[None, :], 0), axis=1)
+    is_loader = params.agent_type != 1  # AgentType.PICKER
+    aid = occupant_max_id(state.agent_xy, is_loader, xs, ys)
     areq = jnp.where(
         aid > 0, state.agent_req_action[jnp.maximum(aid - 1, 0)], Action.NOOP
     )
@@ -164,14 +186,13 @@ def _agent_infos(params: EnvParams, state: EnvState):
 def _shelves_obs(params: EnvParams, state: EnvState) -> jnp.ndarray:
     """(2L,) [has_shelf, is_requested] per rack cell in rack-group order
     (reference Global:65-72, Partial:87-95)."""
-    _, _, shelf_grid, _ = occupancy_grids(params, state)
     in_queue = (
         jnp.zeros(params.num_shelves + 1, jnp.bool_)
         .at[state.request_queue]
         .set(True)
     )
     cells = params.rack_cells[params.obs_rack_perm]  # obs order
-    sid = shelf_grid[cells[:, 0], cells[:, 1]]
+    sid = _shelf_id_at(params, state, cells)
     has = (sid > 0).astype(jnp.float32)
     req = ((sid > 0) & in_queue[sid]).astype(jnp.float32)
     return jnp.stack([has, req], axis=-1).reshape(-1)

@@ -59,12 +59,25 @@ def dynamic_fields(
     free = jnp.ones((H, W), jnp.bool_)
     base = jnp.stack([free, params.picker_passable])  # (2, H, W)
     pas = base[classes] & ~occupied[None]  # (A, H, W)
-    aidx = jnp.arange(A)
-    pas = pas.at[aidx, targets_yx[:, 0], targets_yx[:, 1]].set(True)
-    pas = pas.at[aidx, self_yx[:, 0], self_yx[:, 1]].set(True)
+    # Free the target and own cells without scatters: equality masks.
+    ys = jax.lax.broadcasted_iota(jnp.int32, (A, H, W), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (A, H, W), 2)
+    is_tgt = (ys == targets_yx[:, 0, None, None]) & (
+        xs == targets_yx[:, 1, None, None]
+    )
+    is_self = (ys == self_yx[:, 0, None, None]) & (
+        xs == self_yx[:, 1, None, None]
+    )
+    pas = pas | is_tgt | is_self
 
-    dist = jnp.full((A, H, W), INF32)
-    dist = dist.at[aidx, targets_yx[:, 0], targets_yx[:, 1]].set(0)
+    if params.bfs_backend == "pallas":
+        from swarm_ode_tpu.ops.bfs_pallas import bfs_dist_pallas
+
+        tgt_flat = targets_yx[:, 0] * W + targets_yx[:, 1]
+        dist = bfs_dist_pallas(pas, tgt_flat, params.dynamic_bfs_iters)
+        return dist, pas
+
+    dist = jnp.where(is_tgt, 0, INF32)
 
     def relax(d, _):
         best = jnp.full_like(d, INF32)

@@ -21,6 +21,16 @@ from swarm_ode_tpu.env.layout import Layout, build_layout
 static = lambda: struct.field(pytree_node=False)
 
 
+def _default_bfs_backend(requested: str) -> str:
+    """Resolve 'auto': the Pallas VMEM-resident BFS kernel on TPU backends,
+    plain XLA relaxation elsewhere (CPU tests)."""
+    if requested != "auto":
+        return requested
+    import jax
+
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 @struct.dataclass
 class EnvParams:
     """Static per-layout data. Arrays are device constants; ints are
@@ -45,6 +55,7 @@ class EnvParams:
     observation_type: str = static()
     replan_mode: str = static()
     dynamic_bfs_iters: int = static()
+    bfs_backend: str = static()  # 'pallas' (VMEM-resident kernel) | 'xla'
     # --- arrays ---
     agent_type: jnp.ndarray  # (A,) int32 AgentType
     highway: jnp.ndarray  # (H, W) bool
@@ -126,6 +137,7 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
         observation_type=config.observation_type,
         replan_mode=config.replan_mode,
         dynamic_bfs_iters=H + W + 2 * config.column_height,
+        bfs_backend=_default_bfs_backend(config.bfs_backend),
         agent_type=jnp.asarray(agent_type),
         highway=jnp.asarray(lay.highway),
         is_goal=jnp.asarray(lay.is_goal_grid),

@@ -21,6 +21,11 @@ Semantics notes (derived by reading the reference closely):
   * Bumping into an effectively stationary, non-rotating, non-fixing agent
     triggers a clash: the bumper gets fixing_clash=4 and replans around
     agents if a path exists (warehouse.py:461-473).
+
+TPU-native performance notes: the reference's per-step dense id grids
+(warehouse.py:319-330) would be scatter ops here; instead every occupancy
+lookup is a gridless equality-reduction (env/queries.py), keeping the hot
+loop scatter-free (the only scatter left is the BFS obstacle bitmap).
 """
 from __future__ import annotations
 
@@ -42,12 +47,8 @@ from swarm_ode_tpu.definitions import (
     STUCK_THRESHOLD,
 )
 from swarm_ode_tpu.env.pathfinding import INF32, dist_nextdir_at, dynamic_fields
-from swarm_ode_tpu.env.state import (
-    EnvParams,
-    EnvState,
-    agent_class,
-    occupancy_grids,
-)
+from swarm_ode_tpu.env.queries import occupant_max_id
+from swarm_ode_tpu.env.state import EnvParams, EnvState, agent_class
 
 # Direction value -> index on the clockwise wheel [UP, RIGHT, DOWN, LEFT]
 _DIR_TO_WHEEL = jnp.array([0, 2, 3, 1], jnp.int32)
@@ -165,7 +166,6 @@ def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
     """Distance-to-target and next-hop AT THE AGENT'S OWN CELL for replanning
     agents, per config.replan_mode."""
     A = params.num_agents
-    aidx = jnp.arange(A)
     x, y = xy[:, 0], xy[:, 1]
     if params.replan_mode == "bfs":
         ddist, pas = dynamic_fields(params, occupied, targets_yx, xy[:, ::-1], cls)
@@ -176,8 +176,6 @@ def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
     sdist, snd = static_dist_nextdir(params, tgt_idx, cls, xy)
     if params.replan_mode == "off":
         return sdist, snd
-    # greedy: among in-bounds neighbors, minimize static dist with a large
-    # penalty for occupied cells; preference order matches the field.
     H, W = params.grid_h, params.grid_w
     best_score = jnp.full(A, jnp.int32(1 << 30))
     best_dir = snd
@@ -214,11 +212,36 @@ def step(
     is_picker = params.agent_type == AgentType.PICKER
     is_loader = ~is_picker  # AGV or AGENT: can toggle-load
 
-    agv_grid, picker_grid, shelf_grid, carried_grid = occupancy_grids(params, state)
-    occupied = (agv_grid > 0) | (picker_grid > 0)
-
     xy = state.agent_xy
     x, y = xy[:, 0], xy[:, 1]
+    S = params.num_shelves
+    sid_range = jnp.arange(1, S + 1, dtype=jnp.int32)
+    carried_flags = (
+        jnp.zeros(S + 1, jnp.bool_).at[state.agent_carrying].set(True)[1:]
+    )
+    on_grid = ~carried_flags  # shelf sits on its cell
+
+    def shelf_at(qx, qy):
+        return occupant_max_id(state.shelf_xy, on_grid, qx, qy)
+
+    def agv_at(qx, qy):
+        return occupant_max_id(xy, is_loader, qx, qy)
+
+    def picker_at(qx, qy):
+        return occupant_max_id(xy, is_picker, qx, qy)
+
+    def carried_at(qx, qy):
+        """Highest carried-shelf id held by any agent at the query cell
+        (the reference's CARRIED_SHELVES layer, warehouse.py:329-330)."""
+        eq = (xy[None, :, 0] == qx[:, None]) & (xy[None, :, 1] == qy[:, None])
+        return jnp.max(
+            jnp.where(eq, state.agent_carrying[None, :], 0), axis=1
+        )
+
+    # Obstacle bitmap for the BFS replanner (sole remaining scatter).
+    occupied = (
+        jnp.zeros(H * W, jnp.bool_).at[y * W + x].set(True).reshape(H, W)
+    )
 
     # ---------------- Phase 1a: target assignment (warehouse.py:358-376) ----
     fixing = jnp.maximum(state.agent_fixing_clash - 1, 0)
@@ -254,7 +277,6 @@ def step(
     d = jnp.where(busy, d, 0)
 
     arrived = busy & (d == 0)
-    # Newly-started agents reset their stuck tracker (warehouse.py:376).
     req = jnp.full(A, Action.NOOP, jnp.int32)
     move_req = micro_toward(state.agent_dir, jnp.maximum(nd, 0))
     moving_now = busy & (d > 0) & (d < INF32) & (nd >= 0)
@@ -271,7 +293,7 @@ def step(
 
     # Near-target logic for previously-busy agents (warehouse.py:388-404).
     near = was_busy & (d == 1)
-    tgt_shelf = shelf_grid[tgt_y, tgt_x]
+    tgt_shelf = shelf_at(tgt_x, tgt_y)
     abort_unload = near & (state.agent_carrying > 0) & (tgt_shelf > 0)
     req = jnp.where(abort_unload, Action.NOOP, req)
     busy = jnp.where(abort_unload, False, busy)
@@ -279,7 +301,7 @@ def step(
     # Picker waits next to the shelf until its AGV is toggling there
     # (warehouse.py:393-404). AGV reqs are final at this point because the
     # reference processes AGVs (lower ids) before pickers.
-    tgt_agv = agv_grid[tgt_y, tgt_x]
+    tgt_agv = agv_at(tgt_x, tgt_y)
     tgt_agv_req = jnp.where(tgt_agv > 0, req[jnp.maximum(tgt_agv - 1, 0)], Action.NOOP)
     agv_toggling = (tgt_agv > 0) & (tgt_agv_req == Action.TOGGLE_LOAD)
     picker_near = near & is_picker
@@ -299,8 +321,12 @@ def step(
     req_y = jnp.where(is_fwd, fwd_y, y)
     mover = is_fwd & ((req_x != x) | (req_y != y))
 
-    occ_same = jnp.where(is_picker, picker_grid[req_y, req_x], agv_grid[req_y, req_x])
-    occ_other = jnp.where(is_picker, agv_grid[req_y, req_x], picker_grid[req_y, req_x])
+    occ_same = jnp.where(
+        is_picker, picker_at(req_x, req_y), agv_at(req_x, req_y)
+    )
+    occ_other = jnp.where(
+        is_picker, agv_at(req_x, req_y), picker_at(req_x, req_y)
+    )
     dest_hw = params.highway[req_y, req_x]
     block_same = occ_same > 0
     block_other = (occ_other > 0) & dest_hw
@@ -309,15 +335,15 @@ def step(
     # Same-destination contention: on highway cells both layers contend; on
     # rack cells only same-layer movers contend (cross-type may overlap).
     contender = mover & ~occupied_block
-    dest_flat = req_y * W + req_x
-    gid = dest_flat * 2 + jnp.where(dest_hw, 0, is_picker.astype(jnp.int32))
     elig = contender & (fixing == 0)
-    max_idx = (
-        jnp.full(H * W * 2, -1, jnp.int32)
-        .at[gid]
-        .max(jnp.where(elig, aidx.astype(jnp.int32), -1))
+    same_dest = (req_x[:, None] == req_x[None, :]) & (
+        req_y[:, None] == req_y[None, :]
     )
-    yields = elig & (aidx < max_idx[gid])
+    layer_compat = (is_picker[:, None] == is_picker[None, :]) | dest_hw[:, None]
+    higher = aidx[None, :] > aidx[:, None]
+    yields = elig & jnp.any(
+        same_dest & layer_compat & higher & elig[None, :], axis=1
+    )
     moved = contender & ~yields
 
     # Clash detection against the blocking occupant (warehouse.py:461-473).
@@ -398,8 +424,8 @@ def step(
 
     toggling = req == Action.TOGGLE_LOAD
     carrying = state.agent_carrying
-    picker_here = picker_grid[y, x] > 0
-    here_shelf = shelf_grid[y, x]
+    picker_here = picker_at(x, y) > 0
+    here_shelf = shelf_at(x, y)
     # Load (warehouse.py:530-552)
     wants_load = toggling & (carrying == 0)
     can_load = wants_load & (here_shelf > 0) & (
@@ -436,60 +462,76 @@ def step(
     elif params.reward_type == RewardType.INDIVIDUAL:
         self_credit = handoff & (params.agent_type == AgentType.AGENT)
         picker_credit_id = jnp.where(
-            handoff & (params.agent_type == AgentType.AGV), picker_grid[y, x], 0
-        )
+            handoff & (params.agent_type == AgentType.AGV),
+            picker_at(x, y),
+            0,
+        )  # (A,) 1-based picker agent id receiving 0.1
         rewards = rewards + self_credit * HANDOFF_REWARD_INDIVIDUAL
-        rewards = rewards.at[jnp.maximum(picker_credit_id - 1, 0)].add(
-            jnp.where(picker_credit_id > 0, HANDOFF_REWARD_INDIVIDUAL, 0.0)
+        credited = jnp.sum(
+            (picker_credit_id[None, :] == aidx[:, None] + 1).astype(jnp.float32),
+            axis=1,
         )
+        rewards = rewards + credited * HANDOFF_REWARD_INDIVIDUAL
 
-    # Write placed shelves into shelf positions; out-of-range index drops the
-    # write for agents that placed nothing.
-    S = params.num_shelves
-    shelf_xy = state.shelf_xy
-    place_idx = jnp.where(placed_shelf > 0, placed_shelf - 1, S)
-    shelf_xy = shelf_xy.at[place_idx].set(xy, mode="drop")
-    # Carried shelves follow their carrier (warehouse.py:524-525); keep the
-    # stored position in sync so downstream grids stay consistent.
-    carry_idx = jnp.where(carrying > 0, carrying - 1, S)
-    shelf_xy = shelf_xy.at[carry_idx].set(new_xy, mode="drop")
+    # Shelf position updates, gridless: a shelf follows whichever agent
+    # placed it this step (warehouse.py:564) or carries it (:524-525).
+    placed_eq = placed_shelf[None, :] == sid_range[:, None]  # (S, A)
+    carried_eq = carrying[None, :] == sid_range[:, None]
+    placed_any = placed_eq.any(axis=1)
+    carried_any = carried_eq.any(axis=1)
+    placed_pos = jnp.einsum(
+        "sa,ad->sd", placed_eq.astype(jnp.int32), xy
+    )
+    carried_pos = jnp.einsum(
+        "sa,ad->sd", carried_eq.astype(jnp.int32), new_xy
+    )
+    shelf_xy = jnp.where(
+        placed_any[:, None],
+        placed_pos,
+        jnp.where(carried_any[:, None], carried_pos, state.shelf_xy),
+    )
 
     # ---------------- Phase 5: shelf deliveries (warehouse.py:592-619) ------
-    # Uses the occupancy grids from the END OF THE PREVIOUS step, like the
-    # reference (process_shelf_deliveries runs before _recalc_grid).
+    # Uses positions from the START of this step, like the reference
+    # (process_shelf_deliveries reads grids recalculated at the end of the
+    # previous step).
+    gy, gx = params.goals_yx[:, 0], params.goals_yx[:, 1]
+    goal_shelf = carried_at(gx, gy)  # (G,) carried shelf id at each goal
+    goal_agent = agv_at(gx, gy)  # (G,) AGV id at each goal
     carried_now = (
-        jnp.zeros(params.num_shelves + 1, jnp.bool_).at[carrying].set(True)[1:]
+        jnp.zeros(S + 1, jnp.bool_).at[carrying].set(True)[1:]
     )
-    in_queue = (
-        jnp.zeros(params.num_shelves + 1, jnp.bool_)
-        .at[state.request_queue]
-        .set(True)[1:]
+    in_queue0 = (
+        jnp.zeros(S + 1, jnp.bool_).at[state.request_queue].set(True)[1:]
     )
-    sidx = jnp.arange(params.num_shelves, dtype=jnp.int32)
 
-    def deliver_one(carry, goal_yx):
+    def deliver_one(carry, goal_inputs):
         rewards, queue, has_del, key, n_del, in_q = carry
-        gy, gx = goal_yx[0], goal_yx[1]
-        shelf_id = carried_grid[gy, gx]
+        shelf_id, agent_id = goal_inputs
         valid = (shelf_id > 0) & in_q[jnp.maximum(shelf_id - 1, 0)]
         # Replacement: uniform over shelves not requested and not carried
-        # (warehouse.py:599-603).
+        # (warehouse.py:599-603), via gumbel-max instead of cumsum sampling.
         key, sub = jax.random.split(key)
         cand = ~in_q & ~carried_now
-        p = cand.astype(jnp.float32)
-        p = p / jnp.maximum(p.sum(), 1.0)
-        new_shelf = jax.random.choice(sub, sidx, p=p) + 1
+        gumbel = jax.random.gumbel(sub, (S,))
+        new_shelf = jnp.argmax(jnp.where(cand, gumbel, -jnp.inf)).astype(
+            jnp.int32
+        ) + 1
         slot = jnp.argmax(queue == shelf_id)
         queue = jnp.where(valid, queue.at[slot].set(new_shelf), queue)
         in_q = jnp.where(
             valid,
-            in_q.at[jnp.maximum(shelf_id - 1, 0)].set(False).at[new_shelf - 1].set(True),
+            in_q.at[jnp.maximum(shelf_id - 1, 0)]
+            .set(False)
+            .at[new_shelf - 1]
+            .set(True),
             in_q,
         )
-        agent_id = agv_grid[gy, gx]
         ai = jnp.maximum(agent_id - 1, 0)
         first = valid & (agent_id > 0) & ~has_del[ai]
-        has_del = jnp.where(valid & (agent_id > 0), has_del.at[ai].set(True), has_del)
+        has_del = jnp.where(
+            valid & (agent_id > 0), has_del.at[ai].set(True), has_del
+        )
         if params.reward_type == RewardType.GLOBAL:
             rewards = rewards + jnp.where(first, DELIVERY_REWARD, 0.0)
         elif params.reward_type == RewardType.INDIVIDUAL:
@@ -500,8 +542,9 @@ def step(
     (rewards, request_queue, has_delivered, key, shelf_deliveries, _), _ = (
         jax.lax.scan(
             deliver_one,
-            (rewards, state.request_queue, has_delivered, state.key, jnp.int32(0), in_queue),
-            params.goals_yx,
+            (rewards, state.request_queue, has_delivered, state.key,
+             jnp.int32(0), in_queue0),
+            (goal_shelf, goal_agent),
         )
     )
 

@@ -101,18 +101,23 @@ def heuristic_policy(
     )  # (Na, T)
 
     # ---- [AGV None -> PICKING]: FIFO queue assignment (heuristic.py:59-77) -
-    def assign_one(carry, item):
+    # Precompute per-queue-item action ids and AGV distances outside the
+    # sequential scan: item cell -> action id (R,), Manhattan distances
+    # (R, Na). The scan body then only masks and argmins.
+    q_items = env_state.request_queue  # (R,) shelf ids
+    q_xy = env_state.shelf_xy[q_items - 1]  # (R, 2) (x, y)
+    q_rack = params.cell_to_rack[q_xy[:, 1], q_xy[:, 0]]  # (R,)
+    q_act = jnp.where(q_rack >= 0, G + 1 + q_rack, 0)
+    q_dist = jnp.abs(agv_y[None, :] - q_xy[:, 1][:, None]) + jnp.abs(
+        agv_x[None, :] - q_xy[:, 0][:, None]
+    )  # (R, Na)
+
+    def assign_one(carry, inputs):
         mission, loc, item_arr, time_arr, at_loc = carry
-        # item: shelf id. Its current rack cell -> action id.
-        sx, sy = (
-            env_state.shelf_xy[item - 1, 0],
-            env_state.shelf_xy[item - 1, 1],
-        )
-        rack_idx = params.cell_to_rack[sy, sx]
-        act_id = jnp.where(rack_idx >= 0, G + 1 + rack_idx, 0)
+        item, act_id, d_row = inputs
         already = jnp.any(item_arr == item)
         available = (~busy) & (~carrying) & (mission == NONE)
-        d = jnp.where(available, dist_all[:, jnp.maximum(act_id - 1, 0)], INF32)
+        d = jnp.where(available, d_row, INF32)
         closest = jnp.argmin(d)
         ok = (~already) & jnp.any(available) & (act_id > 0)
         mission = jnp.where(ok, mission.at[closest].set(PICKING), mission)
@@ -125,7 +130,7 @@ def heuristic_policy(
     (mission, loc, item_arr, time_arr, at_loc), _ = jax.lax.scan(
         assign_one,
         (h.agv_mission, h.agv_loc, h.agv_item, h.agv_time, h.agv_at_loc),
-        env_state.request_queue,
+        (q_items, q_act, q_dist),
     )
 
     # ---- at_location refresh (heuristic.py:81-82) ----

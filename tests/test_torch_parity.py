@@ -1,0 +1,118 @@
+"""Numerical parity vs a torch re-implementation of the same math.
+
+The reference compute path is torch + torchdiffeq + PyG
+(train_gde.py:20-106). Neither torchdiffeq nor torch_geometric is in this
+image, so parity is checked against a hand-written torch implementation of
+the identical operations: SAGE(mean) message passing and fixed-step
+odeint. Target: trajectories match to 1e-5 (BASELINE.json north star).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from swarm_ode_tpu.ops.odeint import odeint
+from swarm_ode_tpu.ops.sage import masked_mean_aggregate
+
+
+def torch_sage(x, adj, wl, bl, wr):
+    """PyG SAGEConv(mean) in plain torch: lin_l(mean_nbrs) + lin_r(x)."""
+    a = torch.tensor(adj, dtype=torch.float32)
+    deg = a.sum(0).clamp(min=1.0)
+    agg = (a.T @ x) / deg[:, None]
+    return agg @ torch.tensor(wl) + torch.tensor(bl) + x @ torch.tensor(wr)
+
+
+def test_sage_matches_torch():
+    rng = np.random.RandomState(0)
+    N, Din, Dout = 11, 5, 4
+    adj = rng.rand(N, N) < 0.3
+    x = rng.randn(N, Din).astype(np.float32)
+    wl = rng.randn(Din, Dout).astype(np.float32)
+    bl = rng.randn(Dout).astype(np.float32)
+    wr = rng.randn(Din, Dout).astype(np.float32)
+
+    # jax path (HIGHEST precision to eliminate backend matmul rounding)
+    agg = masked_mean_aggregate(
+        jnp.asarray(x), jnp.asarray(adj), precision=jax.lax.Precision.HIGHEST
+    )
+    out_jax = agg @ jnp.asarray(wl) + jnp.asarray(bl) + jnp.asarray(x) @ jnp.asarray(wr)
+
+    out_torch = torch_sage(torch.tensor(x), adj, wl, bl, wr).numpy()
+    np.testing.assert_allclose(np.asarray(out_jax), out_torch, atol=1e-5)
+
+
+def test_odeint_euler_matches_torch_loop():
+    """Fixed-step euler over a 3-layer SAGE vector field: jax odeint vs a
+    torch integration loop with identical weights, to 1e-5."""
+    rng = np.random.RandomState(1)
+    N, D, H = 9, 6, 8
+    adj = rng.rand(N, N) < 0.35
+    x0 = rng.randn(N, D).astype(np.float32)
+    Ws = {
+        "w1l": rng.randn(D, H).astype(np.float32) * 0.3,
+        "b1": rng.randn(H).astype(np.float32) * 0.1,
+        "w1r": rng.randn(D, H).astype(np.float32) * 0.3,
+        "w2l": rng.randn(H, D).astype(np.float32) * 0.3,
+        "b2": rng.randn(D).astype(np.float32) * 0.1,
+        "w2r": rng.randn(H, D).astype(np.float32) * 0.3,
+    }
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def f_jax(t, y):
+        h = masked_mean_aggregate(y, jnp.asarray(adj), precision=hi)
+        h = h @ Ws["w1l"] + Ws["b1"] + y @ Ws["w1r"]
+        h = jax.nn.relu(h)
+        h2 = masked_mean_aggregate(h, jnp.asarray(adj), precision=hi)
+        return h2 @ Ws["w2l"] + Ws["b2"] + h @ Ws["w2r"]
+
+    def f_torch(y):
+        h = torch_sage(y, adj, Ws["w1l"], Ws["b1"], Ws["w1r"]).relu()
+        return torch_sage(h, adj, Ws["w2l"], Ws["b2"], Ws["w2r"])
+
+    steps = 16
+    t = jnp.linspace(0.0, 1.0, steps + 1)
+    ys = odeint(f_jax, jnp.asarray(x0), t, method="euler")
+
+    yt = torch.tensor(x0)
+    dt = 1.0 / steps
+    torch_traj = [yt.clone()]
+    for _ in range(steps):
+        yt = yt + dt * f_torch(yt)
+        torch_traj.append(yt.clone())
+
+    for k in (1, steps // 2, steps):
+        np.testing.assert_allclose(
+            np.asarray(ys[k]), torch_traj[k].numpy(), atol=1e-5,
+            err_msg=f"step {k}",
+        )
+
+
+def test_odeint_rk4_matches_torch_loop():
+    rng = np.random.RandomState(2)
+    D = 5
+    A = rng.randn(D, D).astype(np.float32) * 0.4
+    x0 = rng.randn(D).astype(np.float32)
+
+    f_jax = lambda t, y: jnp.tanh(y @ A)
+    ys = odeint(f_jax, jnp.asarray(x0), jnp.array([0.0, 1.0]),
+                method="rk4", substeps=8)
+
+    At = torch.tensor(A)
+    y = torch.tensor(x0)
+    h = 1.0 / 8
+
+    def f(yv):
+        return torch.tanh(yv @ At)
+
+    for _ in range(8):
+        k1 = f(y)
+        k2 = f(y + h / 2 * k1)
+        k3 = f(y + h / 2 * k2)
+        k4 = f(y + h * k3)
+        y = y + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+    np.testing.assert_allclose(np.asarray(ys[1]), y.numpy(), atol=1e-5)

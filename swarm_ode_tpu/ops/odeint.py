@@ -142,6 +142,10 @@ def _dopri5_integrate_interval(func, y0, t0, t1, dt0, rtol, atol, max_steps):
         # (gradients through accepted solution values only) — matches the
         # discrete-adjoint convention of torchdiffeq/diffrax.
         en = jax.lax.stop_gradient(_error_norm(err, s.y, y1, rtol, atol))
+        # Divergence guard (SURVEY.md §5 failure-detection): a non-finite
+        # error estimate rejects the step and halves dt instead of
+        # propagating NaNs.
+        en = jnp.where(jnp.isfinite(en), en, jnp.inf)
         accept = en <= 1.0
         # PI controller (torchdiffeq uses ifactor/dfactor clipping).
         factor = jnp.clip(

@@ -133,13 +133,31 @@ def train_gde(
     best_val = np.inf
     best_params = params
     ckpt = None
+    start_epoch = 0
     if config.checkpoint_dir:
         from swarm_ode_tpu.utils.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(config.checkpoint_dir)
+        # Resume (the reference only ever saves, SURVEY.md §5; here restore
+        # picks up params + optimizer + epoch).
+        latest = ckpt.latest_step()
+        if latest is not None:
+            restored = ckpt.restore(
+                {
+                    "params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "epoch": np.int32(0),
+                }
+            )
+            if restored is not None:
+                params = meshlib.replicate(mesh, restored["params"])
+                opt_state = meshlib.replicate(mesh, restored["opt_state"])
+                start_epoch = int(restored["epoch"]) + 1
+                if verbose:
+                    print(f"Resumed from checkpoint at epoch {latest}")
 
     B = config.batch_size
-    for epoch in range(config.num_epochs):
+    for epoch in range(start_epoch, config.num_epochs):
         t0 = time.time()
         perm = rng.permutation(train_idx)
         tot, nb = 0.0, 0
@@ -161,12 +179,18 @@ def train_gde(
         if val_loss < best_val:
             best_val = val_loss
             best_params = params
-            if ckpt:
-                ckpt.save(epoch, {"params": jax.tree.map(np.asarray, params)},
-                          force=True)
-        if ckpt and epoch % config.checkpoint_every == 0:
-            ckpt.save(epoch, {"params": jax.tree.map(np.asarray, params)},
-                      force=True)
+        if ckpt and (
+            val_loss == best_val or epoch % config.checkpoint_every == 0
+        ):
+            ckpt.save(
+                epoch,
+                {
+                    "params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "epoch": np.int32(epoch),
+                },
+                force=True,
+            )
         if logger:
             logger.log(
                 {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss}

@@ -68,6 +68,8 @@ class EnvConfig:
     # BFS implementation: 'auto' picks the Pallas VMEM-resident kernel on
     # TPU and the XLA stencil scan on CPU; force with 'pallas' / 'xla'.
     bfs_backend: str = "auto"
+    # Replan-BFS relaxation sweeps; 0 = auto (max(32, (H+W)//2)).
+    dynamic_bfs_iters: int = 0
 
     @property
     def num_agents(self) -> int:

@@ -136,7 +136,15 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
         normalised_coordinates=config.normalised_coordinates,
         observation_type=config.observation_type,
         replan_mode=config.replan_mode,
-        dynamic_bfs_iters=H + W + 2 * config.column_height,
+        # Replan-BFS sweep count: detours around agents are local, so far
+        # fewer sweeps than the grid diameter suffice — measured on medium
+        # (experiments/bfs_iters.py): 32 sweeps leaves deliveries/clashes/
+        # stucks unchanged vs the full diameter while cutting step time ~25%.
+        dynamic_bfs_iters=(
+            config.dynamic_bfs_iters
+            if config.dynamic_bfs_iters
+            else max(32, (H + W) // 2)
+        ),
         bfs_backend=_default_bfs_backend(config.bfs_backend),
         agent_type=jnp.asarray(agent_type),
         highway=jnp.asarray(lay.highway),

@@ -40,7 +40,8 @@ from swarm_ode_tpu.utils.metrics import pick_rate
 class RLRunConfig:
     env_id: str = "tarware-medium-19agvs-9pickers-partialobs-v1"
     algo: str = "qmix"  # iql | qmix | coma
-    net: str = "gnode"  # gnode | gnn
+    net: str = "gnode"  # gnode | gnn | gru
+    num_envs: int = 1  # vectorized envs feeding the shared replay buffer
     num_episodes: int = 100
     hidden_dim: int = 64
     buffer_size: int = 20_000
@@ -185,11 +186,14 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             "done": sampled["done"],
         }
 
+    B = cfg.num_envs
+
     @jax.jit
     def run_episode(es, astate, buf, key):
-        def body(carry, _):
-            es, astate, buf, key, hidden = carry
-            key, ka, ks = jax.random.split(key, 3)
+        """Whole (batched) episode on device: B envs step in lockstep and
+        feed one shared replay buffer; one gradient step per env step."""
+
+        def per_env(es, ka, astate, hidden):
             obs = observations.observe(params, es)
             feats = _feats(params, obs)
             g = hetero_graph_from_obs(params, obs)
@@ -216,8 +220,17 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             if is_gru:
                 item["extras"] = hidden
                 item["next_extras"] = new_hidden
-            hidden = new_hidden
-            buf = replay.add(buf, item)
+            return es2, new_hidden, item, rew, info
+
+        def body(carry, _):
+            es, astate, buf, key, hidden = carry
+            key, ks = jax.random.split(key)
+            kas = jax.random.split(key, B + 1)
+            key, kas = kas[0], kas[1:]
+            es2, hidden, items, rew, info = jax.vmap(
+                per_env, in_axes=(0, 0, None, 0)
+            )(es, kas, astate, hidden)
+            buf = replay.add_batch(buf, items)
             if off_policy:
                 ready = buf.size >= cfg.batch_size
                 sampled = replay.sample(buf, ks, cfg.batch_size)
@@ -228,11 +241,17 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 loss = jnp.where(ready, aux["loss"], 0.0)
             else:
                 loss = 0.0
-            out = (rew.sum(), info["shelf_deliveries"], info["clashes"],
-                   info["stucks"], loss)
+            out = (rew.sum(), info["shelf_deliveries"].sum(),
+                   info["clashes"].sum(), info["stucks"].sum(), loss)
             return (es2, astate, buf, key, hidden), out
 
-        hidden0 = net.init_hidden if is_gru else ()
+        hidden0 = (
+            jax.tree.map(
+                lambda h: jnp.broadcast_to(h, (B,) + h.shape), net.init_hidden
+            )
+            if is_gru
+            else jnp.zeros(B)
+        )
         (es, astate, buf, key, _), outs = jax.lax.scan(
             body, (es, astate, buf, key, hidden0), None, length=steps
         )
@@ -247,12 +266,17 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
 
         ckpt = CheckpointManager(cfg.checkpoint_dir)
 
-    for ep in range(cfg.num_episodes):
+    for ep in range(0, cfg.num_episodes, B):
         key, kr = jax.random.split(key)
-        es = step_mod.reset(params, kr)
+        es = jax.vmap(step_mod.reset, in_axes=(None, 0))(
+            params, jax.random.split(kr, B)
+        )
         t0 = time.time()
         es, astate, buf, key, outs = run_episode(es, astate, buf, key)
         rew_sum, deliv, clash, stuck, loss = jax.tree.map(np.asarray, outs)
+        rew_sum, deliv, clash, stuck = (
+            rew_sum / B, deliv / B, clash / B, stuck / B,
+        )
         if cfg.algo == "coma":
             key, ks = jax.random.split(key)
             sampled = replay.sample(buf, ks, cfg.batch_size)

@@ -36,6 +36,18 @@ from swarm_ode_tpu.definitions import (
 
 __version__ = "0.1.0"
 
+__all__ = [
+    "Action",
+    "AgentType",
+    "CollisionLayers",
+    "Direction",
+    "EnvConfig",
+    "RewardType",
+    "env_id",
+    "make",
+    "register_gym_envs",
+]
+
 _REGISTERED = False
 
 

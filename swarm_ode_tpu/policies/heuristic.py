@@ -228,6 +228,53 @@ def heuristic_policy(
     return actions, new_h
 
 
+def heuristic_episode(env, render: bool = False, seed=None):
+    """Reference-compatible episode runner (tarware/heuristic.py:26-146).
+
+    `env` is a gym-adapter Warehouse (swarm_ode_tpu.make(...)). Returns
+    (all_infos, global_episode_return, episode_returns) exactly like the
+    reference; the whole episode runs as one jitted lax.scan on device.
+    """
+    import jax
+    import numpy as np
+
+    from swarm_ode_tpu.env import step as step_mod
+
+    params, layout = env.params, env.layout
+    policy = make_policy(params, layout)
+    steps = params.max_steps or 500
+
+    @jax.jit
+    def run(key):
+        es = step_mod.reset(params, key)
+        h = init_state(params)
+
+        def body(carry, _):
+            es, h = carry
+            a, h = policy(params, es, h)
+            es, rew, done, info = step_mod.step(params, es, a)
+            return (es, h), (rew, info)
+
+        (es, h), (rewards, infos) = jax.lax.scan(
+            body, (es, h), None, length=steps
+        )
+        return es, rewards, infos
+
+    es, rewards, infos = run(jax.random.PRNGKey(0 if seed is None else seed))
+    if render:
+        from swarm_ode_tpu.env.rendering import render_state
+
+        render_state(params, layout, es, mode="human")
+    rewards = np.asarray(rewards)
+    infos = jax.tree.map(np.asarray, infos)
+    all_infos = [
+        {k: v[t].tolist() if v[t].ndim else v[t].item() for k, v in infos.items()}
+        for t in range(steps)
+    ]
+    episode_returns = rewards.sum(axis=0)
+    return all_infos, float(rewards.sum()), episode_returns
+
+
 def make_policy(params: EnvParams, layout: Layout):
     """Bind zones; returns policy_step(params, env_state, h) -> (actions, h)."""
     if params.num_pickers > 0:

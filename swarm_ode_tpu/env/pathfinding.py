@@ -39,6 +39,43 @@ def _shift(d: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return out.at[..., yd, xd].set(d[..., ys, xs])
 
 
+def passable_grid(params, occupied, targets_yx, self_yx, classes):
+    """(A, H, W) passable mask for per-agent replanning, plus the target
+    mask. Targets and own cells are freed without scatters (equality
+    masks), mirroring find_path's grid edits (warehouse.py:285,:303)."""
+    A = targets_yx.shape[0]
+    H, W = params.grid_h, params.grid_w
+    free = jnp.ones((H, W), jnp.bool_)
+    base = jnp.stack([free, params.picker_passable])  # (2, H, W)
+    pas = base[classes] & ~occupied[None]  # (A, H, W)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (A, H, W), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (A, H, W), 2)
+    is_tgt = (ys == targets_yx[:, 0, None, None]) & (
+        xs == targets_yx[:, 1, None, None]
+    )
+    is_self = (ys == self_yx[:, 0, None, None]) & (
+        xs == self_yx[:, 1, None, None]
+    )
+    return pas | is_tgt | is_self, is_tgt
+
+
+def replan_query(params, occupied, targets_yx, self_yx, classes):
+    """Fused replan lookup: distance-to-target and next-hop at each agent's
+    own cell only. On the Pallas backend the full field never leaves VMEM."""
+    pas, _ = passable_grid(params, occupied, targets_yx, self_yx, classes)
+    W = params.grid_w
+    if params.bfs_backend == "pallas":
+        from swarm_ode_tpu.ops.bfs_pallas import bfs_query_pallas
+
+        tgt_flat = targets_yx[:, 0] * W + targets_yx[:, 1]
+        pos_flat = self_yx[:, 0] * W + self_yx[:, 1]
+        return bfs_query_pallas(
+            pas, tgt_flat, pos_flat, params.dynamic_bfs_iters
+        )
+    dist, pas = dynamic_fields(params, occupied, targets_yx, self_yx, classes)
+    return dist_nextdir_at(params, dist, pas, self_yx)
+
+
 def dynamic_fields(
     params: EnvParams,
     occupied: jnp.ndarray,  # (H, W) bool — cells holding any agent
@@ -54,21 +91,8 @@ def dynamic_fields(
 
     Returns (dist, next_dir): (A, H, W) int32 / int8.
     """
-    A = targets_yx.shape[0]
+    pas, is_tgt = passable_grid(params, occupied, targets_yx, self_yx, classes)
     H, W = params.grid_h, params.grid_w
-    free = jnp.ones((H, W), jnp.bool_)
-    base = jnp.stack([free, params.picker_passable])  # (2, H, W)
-    pas = base[classes] & ~occupied[None]  # (A, H, W)
-    # Free the target and own cells without scatters: equality masks.
-    ys = jax.lax.broadcasted_iota(jnp.int32, (A, H, W), 1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (A, H, W), 2)
-    is_tgt = (ys == targets_yx[:, 0, None, None]) & (
-        xs == targets_yx[:, 1, None, None]
-    )
-    is_self = (ys == self_yx[:, 0, None, None]) & (
-        xs == self_yx[:, 1, None, None]
-    )
-    pas = pas | is_tgt | is_self
 
     if params.bfs_backend == "pallas":
         from swarm_ode_tpu.ops.bfs_pallas import bfs_dist_pallas

@@ -46,7 +46,7 @@ from swarm_ode_tpu.definitions import (
     STEP_PENALTY,
     STUCK_THRESHOLD,
 )
-from swarm_ode_tpu.env.pathfinding import INF32, dist_nextdir_at, dynamic_fields
+from swarm_ode_tpu.env.pathfinding import INF32, replan_query
 from swarm_ode_tpu.env.queries import occupant_max_id
 from swarm_ode_tpu.env.state import EnvParams, EnvState, agent_class
 
@@ -168,8 +168,7 @@ def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
     A = params.num_agents
     x, y = xy[:, 0], xy[:, 1]
     if params.replan_mode == "bfs":
-        ddist, pas = dynamic_fields(params, occupied, targets_yx, xy[:, ::-1], cls)
-        return dist_nextdir_at(params, ddist, pas, xy[:, ::-1])
+        return replan_query(params, occupied, targets_yx, xy[:, ::-1], cls)
     # Static-field fallback ('off' / 'greedy'): distance from the static
     # field; 'greedy' biases the next hop toward unoccupied neighbors.
     tgt_idx = jnp.maximum(state.agent_target - 1, 0)

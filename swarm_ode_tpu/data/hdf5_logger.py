@@ -16,7 +16,7 @@ transfer per rollout, not per step.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -8,7 +8,7 @@ object (warehouse.py:91-766): `reset`/`step` are pure functions of
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

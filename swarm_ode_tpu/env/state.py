@@ -15,7 +15,7 @@ import numpy as np
 from flax import struct
 
 from swarm_ode_tpu.config import EnvConfig
-from swarm_ode_tpu.definitions import AgentType, CollisionLayers
+from swarm_ode_tpu.definitions import AgentType
 from swarm_ode_tpu.env.layout import Layout, build_layout
 
 static = lambda: struct.field(pytree_node=False)

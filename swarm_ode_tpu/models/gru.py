@@ -7,7 +7,7 @@ trajectory predictors and position-only variants
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ arithmetic with no graph search.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -20,7 +20,7 @@ from flax import struct
 
 from swarm_ode_tpu.env.state import EnvParams
 from swarm_ode_tpu.graphs.hetero import build_hetero_graph
-from swarm_ode_tpu.models.coma import COMAActor, COMACritic, masked_action_probs
+from swarm_ode_tpu.models.coma import COMAActor, COMACritic
 
 
 @dataclasses.dataclass

@@ -9,7 +9,7 @@ learn call. The reference loops over replay samples one by one
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -41,7 +41,9 @@ if __name__ == "__main__":
     )
     params = model.init(jax.random.PRNGKey(0), g0, jnp.array([0.0, 1.0]))
     mgr = CheckpointManager(args.checkpoint_dir)
-    restored = mgr.restore({"params": jax.tree.map(np.asarray, params)})
+    restored = mgr.restore(
+        {"params": jax.tree.map(np.asarray, params)}, partial=True
+    )
     if restored is None:
         sys.exit("No checkpoint found")
     indices = range(min(len(ds), args.max_windows))

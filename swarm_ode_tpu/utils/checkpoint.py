@@ -43,13 +43,21 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_like: Dict[str, Any], step: Optional[int] = None):
+    def restore(self, state_like: Dict[str, Any], step: Optional[int] = None,
+                partial: bool = False):
         """Restore into the structure of `state_like` (same treedef/shapes).
-        Returns None if no checkpoint exists."""
+        `partial=True` restores only the keys present in `state_like` (e.g.
+        params-only from a full training checkpoint). Returns None if no
+        checkpoint exists."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
         target = jax.tree.map(np.asarray, state_like)
+        if partial:
+            return self._mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(target, partial_restore=True),
+            )
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(target)
         )

@@ -130,6 +130,7 @@ def heuristic_policy(
         assign_one,
         (h.agv_mission, h.agv_loc, h.agv_item, h.agv_time, h.agv_at_loc),
         (q_items, q_act, q_dist),
+        unroll=4,
     )
 
     # ---- at_location refresh (heuristic.py:81-82) ----
@@ -170,7 +171,7 @@ def heuristic_policy(
         return (mission, loc, time_arr, at_loc), None
 
     (mission, loc, time_arr, at_loc), _ = jax.lax.scan(
-        ret_one, (mission, loc, time_arr, at_loc), jnp.arange(Na)
+        ret_one, (mission, loc, time_arr, at_loc), jnp.arange(Na), unroll=4
     )
 
     # ---- [RETURNING -> None] (heuristic.py:111-113) ----

@@ -97,3 +97,41 @@ def rollout(
         body, (env_state, policy_state), None, length=num_steps
     )
     return env_state, policy_state, traj
+
+
+def auto_reset_rollout(
+    params: EnvParams,
+    policy_step,
+    policy_init,
+    env_state: EnvState,
+    policy_state,
+    num_steps: int,
+    key: jnp.ndarray,
+):
+    """Like `rollout` but episodes restart in place when done — continuous
+    batched collection (vmap over this for fleets of envs).
+
+    `policy_init()` must return a fresh policy state (pytree matching
+    `policy_state`). Returns (env_state, policy_state, key, traj) where traj
+    additionally carries the per-step done flags marking episode boundaries.
+    """
+
+    def body(carry, _):
+        env_state, policy_state, key = carry
+        actions, policy_state = policy_step(params, env_state, policy_state)
+        env_state, rewards, done, info = step_mod.step(params, env_state, actions)
+        key, sub = jax.random.split(key)
+        fresh_env = step_mod.reset(params, sub)
+        fresh_pol = policy_init()
+        env_state = jax.tree.map(
+            lambda new, cur: jnp.where(done, new, cur), fresh_env, env_state
+        )
+        policy_state = jax.tree.map(
+            lambda new, cur: jnp.where(done, new, cur), fresh_pol, policy_state
+        )
+        return (env_state, policy_state, key), (rewards, done, info)
+
+    (env_state, policy_state, key), traj = jax.lax.scan(
+        body, (env_state, policy_state, key), None, length=num_steps
+    )
+    return env_state, policy_state, key, traj

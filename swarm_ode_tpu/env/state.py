@@ -66,6 +66,7 @@ class EnvParams:
     rack_cells: jnp.ndarray  # (L, 2) int32 action order
     rack_group: jnp.ndarray  # (L,) int32
     obs_rack_perm: jnp.ndarray  # (L,) int32
+    obs_rack_perm_inv: jnp.ndarray  # (L,) int32 — action idx -> obs slot
     rack_locations_xyg: jnp.ndarray  # (L, 3) int32
     cell_to_rack: jnp.ndarray  # (H, W) int32
     shelf_cells: jnp.ndarray  # (S, 2) int32 spawn cell of shelf s+1
@@ -155,6 +156,7 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
         rack_cells=jnp.asarray(lay.rack_cells_yx),
         rack_group=jnp.asarray(lay.rack_group_action_order),
         obs_rack_perm=jnp.asarray(lay.obs_rack_perm),
+        obs_rack_perm_inv=jnp.asarray(np.argsort(lay.obs_rack_perm)),
         rack_locations_xyg=jnp.asarray(lay.rack_locations_xyg),
         cell_to_rack=jnp.asarray(lay.cell_to_rack),
         shelf_cells=jnp.asarray(lay.shelf_cells_yx),

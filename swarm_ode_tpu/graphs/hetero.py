@@ -168,6 +168,57 @@ def build_hetero_graph(
     )
 
 
+def masks_from_feats(
+    params: EnvParams,
+    agv_feats: jnp.ndarray,  # (A, 7)
+    picker_feats: jnp.ndarray,  # (P, 4)
+    loc_feats: jnp.ndarray,  # (L, 2) obs (rack-group) order
+) -> jnp.ndarray:
+    """Valid-action masks reconstructed from graph node features.
+
+    Replay transitions store only node features; TD-target bootstrapping
+    must still restrict the argmax to valid actions (unmasked maxima let
+    never-grounded Q values diverge — a latent instability in the
+    reference's replay loops, run_gnode.py:871-875). This reproduces
+    compute_valid_action_masks (warehouse.py:727-752) from features alone;
+    the only approximation is 'empty cell' = no shelf (the pending-unload
+    exclusion needs live agent intents, which features don't carry).
+    """
+    A, P, L = params.num_agvs, params.num_pickers, params.num_racks
+    G = params.num_goals
+    loc_action = loc_feats[params.obs_rack_perm_inv]  # (L, 2) action order
+    has_shelf = loc_action[:, 0] > 0
+    requested = (has_shelf & (loc_action[:, 1] > 0)).astype(jnp.float32)
+    empty = (~has_shelf).astype(jnp.float32)
+    carrying = agv_feats[:, 0] > 0
+
+    def rack_target(tyx):
+        ty = tyx[:, 0].astype(jnp.int32)
+        tx = tyx[:, 1].astype(jnp.int32)
+        has = ~((ty == 0) & (tx == 0))
+        ridx = params.cell_to_rack[ty, tx]
+        return jnp.where(has & (ridx >= 0), ridx, L)  # L = drop
+
+    agv_rack = rack_target(agv_feats[:, 5:7])
+    pick_rack = rack_target(picker_feats[:, 2:4])
+
+    valid_agvs = jnp.where(
+        carrying[:, None], empty[None, :], requested[None, :]
+    )
+    valid_pickers = jnp.zeros(L, jnp.float32).at[agv_rack].set(1.0, mode="drop")
+    valid_agvs = valid_agvs.at[:, agv_rack].set(0.0, mode="drop")
+    valid_pickers = valid_pickers.at[pick_rack].set(0.0, mode="drop")
+
+    masks = jnp.ones((params.num_agents, params.num_actions), jnp.float32)
+    masks = masks.at[:A, 1 + G :].set(valid_agvs)
+    masks = masks.at[:A, 1 : 1 + G].set(
+        jnp.repeat(carrying.astype(jnp.float32)[:, None], G, axis=1)
+    )
+    masks = masks.at[A:, 1 + G :].set(valid_pickers[None, :])
+    masks = masks.at[A:, 1 : 1 + G].set(0.0)
+    return masks
+
+
 def hetero_graph_from_obs(
     params: EnvParams, obs: jnp.ndarray, max_comm_distance: float = 5.0
 ) -> HeteroGraph:

@@ -16,7 +16,11 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from swarm_ode_tpu.graphs.hetero import HeteroGraph, build_hetero_graph
+from swarm_ode_tpu.graphs.hetero import (
+    HeteroGraph,
+    build_hetero_graph,
+    masks_from_feats,
+)
 from swarm_ode_tpu.env.state import EnvParams
 
 
@@ -118,6 +122,13 @@ class IQLAgent:
                 gn = self._graphs_from_feats(next_feats)
                 q = self.q_values(params, g, ex)  # (N, act)
                 qn = self.q_values(state.target_params, gn, nex)
+                # Mask the bootstrap max to valid next actions (see
+                # graphs.hetero.masks_from_feats).
+                next_masks = masks_from_feats(
+                    self.env_params, next_feats["agv"], next_feats["picker"],
+                    next_feats["loc"],
+                )
+                qn = jnp.where(next_masks > 0, qn, -1e9)
                 q_taken = jnp.take_along_axis(
                     q, actions[:, None], axis=-1
                 ).squeeze(-1)

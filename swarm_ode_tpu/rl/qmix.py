@@ -16,17 +16,23 @@ import optax
 from flax import struct
 
 from swarm_ode_tpu.env.state import EnvParams
-from swarm_ode_tpu.graphs.hetero import HeteroGraph, build_hetero_graph
+from swarm_ode_tpu.graphs.hetero import (
+    HeteroGraph,
+    build_hetero_graph,
+    masks_from_feats,
+)
 from swarm_ode_tpu.models.qmix import HeteroQMIXMixer
 
 
 @dataclasses.dataclass
 class QMIXConfig:
-    lr: float = 1e-3
-    gamma: float = 0.99
+    # Defaults follow the reference learning_config (run_gnode.py:1328):
+    # lr 1e-4, gamma 0.999, epsilon decay 0.999 to 0.1.
+    lr: float = 1e-4
+    gamma: float = 0.999
     epsilon_start: float = 1.0
-    epsilon_decay: float = 0.995
-    epsilon_min: float = 0.01
+    epsilon_decay: float = 0.999
+    epsilon_min: float = 0.1
     grad_clip: float = 10.0
     batch_size: int = 32
     update_target_freq: int = 200
@@ -118,10 +124,17 @@ class QMIXAgent:
             )  # (B,)
 
             # Double DQN: argmax by online net, evaluate by target net
-            # (reference run_gnode.py:869-883).
+            # (reference run_gnode.py:869-883), restricted to valid actions
+            # (see graphs.hetero.masks_from_feats).
             def next_q_one(feats):
                 g = self._graph(feats)
-                q_online = self.q_values(params["q"], g)
+                masks = masks_from_feats(
+                    self.env_params, feats["agv"], feats["picker"],
+                    feats["loc"],
+                )
+                q_online = jnp.where(
+                    masks > 0, self.q_values(params["q"], g), -1e9
+                )
                 a_star = jnp.argmax(q_online, axis=-1)
                 q_tgt = self.q_values(state.target_params["q"], g)
                 return jnp.take_along_axis(

@@ -103,10 +103,17 @@ def _feats(params, obs):
     return {"agv": a, "picker": p, "loc": l}
 
 
-def _global_state(feats):
-    return jnp.concatenate(
-        [feats["agv"].reshape(-1), feats["picker"].reshape(-1),
-         feats["loc"].reshape(-1)]
+def _global_state(feats, scale: float = 1.0):
+    """Flat global state for the mixers/critics: all node features
+    concatenated (dimension == the reference's global obs length). `scale`
+    tames the raw coordinate magnitudes so the hypernetwork mixers stay
+    numerically stable."""
+    return (
+        jnp.concatenate(
+            [feats["agv"].reshape(-1), feats["picker"].reshape(-1),
+             feats["loc"].reshape(-1)]
+        )
+        * scale
     )
 
 
@@ -127,6 +134,7 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
     feats0 = _feats(params, obs0)
     gs_dim = int(_global_state(feats0).shape[0])
 
+    gs_scale = 1.0 / float(max(params.grid_h, params.grid_w))
     net = _make_network(cfg, action_size, params.num_agvs, params.num_pickers)
     is_gru = cfg.net == "gru"
     if is_gru and cfg.algo != "iql":
@@ -152,8 +160,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         "next_feats": feats0,
         "actions": jnp.zeros(params.num_agents, jnp.int32),
         "rewards": jnp.zeros(params.num_agents, jnp.float32),
-        "global_state": _global_state(feats0),
-        "next_global_state": _global_state(feats0),
+        "global_state": _global_state(feats0, gs_scale),
+        "next_global_state": _global_state(feats0, gs_scale),
         "done": jnp.bool_(False),
     }
     if is_gru:
@@ -213,8 +221,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 "next_feats": feats2,
                 "actions": actions,
                 "rewards": rew,
-                "global_state": _global_state(feats),
-                "next_global_state": _global_state(feats2),
+                "global_state": _global_state(feats, gs_scale),
+                "next_global_state": _global_state(feats2, gs_scale),
                 "done": done,
             }
             if is_gru:

@@ -116,3 +116,31 @@ def test_agent_only_env():
     # AGENTs should manage to pick up shelves without pickers
     picked = any(np.asarray(s.agent_carrying).sum() > 0 for s in states)
     assert picked
+
+
+def test_auto_reset_rollout(env):
+    """Episodes restart in place on done; step counter never exceeds
+    max_steps."""
+    from swarm_ode_tpu.env.env import auto_reset_rollout
+    from swarm_ode_tpu.env import step as step_mod
+    from swarm_ode_tpu.env.layout import build_layout
+    from swarm_ode_tpu.policies import heuristic as H
+
+    p = env.params
+    lay = build_layout(env.config)
+    policy = H.make_policy(p, lay)
+
+    @jax.jit
+    def run(key):
+        es = step_mod.reset(p, key)
+        h = H.init_state(p)
+        es, h, key2, (rew, done, info) = auto_reset_rollout(
+            p, policy, lambda: H.init_state(p), es, h, 1100, key
+        )
+        return es, done
+
+    es, done = run(jax.random.PRNGKey(0))
+    done = np.asarray(done)
+    # max_steps=500 -> exactly two episode boundaries in 1100 steps
+    assert done.sum() == 2
+    assert int(es.cur_steps) == 1100 - (np.nonzero(done)[0].max() + 1)

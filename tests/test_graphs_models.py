@@ -219,3 +219,16 @@ def test_actor_masking():
     probs = masked_action_probs(logits, mask)
     assert np.allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-6)
     assert np.all(np.asarray(probs)[np.asarray(mask) == 0] < 1e-6)
+
+
+def test_graph_ode_dopri5(env, obs_state):
+    """GraphODE with the adaptive solver (the reference's commented-out
+    dopri5 option, run_gnode.py:134-135) runs and stays finite."""
+    obs, _ = obs_state
+    w = T.init_window(3, env.params.num_agents, obs.shape[1])
+    w = T.push_frame(w, obs)
+    g = T.build_temporal_graph(w, env.params.num_agvs)
+    model = GraphODE(node_dim=obs.shape[1], hidden_dim=8, ode_solver="dopri5")
+    params = model.init(jax.random.PRNGKey(0), g, jnp.array([0.0, 1.0]))
+    out = model.apply(params, g, jnp.array([0.0, 1.0]))
+    assert np.isfinite(np.asarray(out["trajectories"])).all()

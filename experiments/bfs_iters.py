@@ -6,7 +6,7 @@ from swarm_ode_tpu.env.state import make_params
 from swarm_ode_tpu.env import step as step_mod
 from swarm_ode_tpu.policies import heuristic as H
 
-for iters in (None, 48, 32):
+for iters in (24, 16):
     cfg = EnvConfig.from_env_id("tarware-medium-19agvs-9pickers-partialobs-v1")
     lay = build_layout(cfg); params = make_params(cfg, lay)
     if iters is not None:

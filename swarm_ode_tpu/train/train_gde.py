@@ -40,6 +40,10 @@ class GDETrainConfig:
     distance_threshold: float = 5.0
     seed: int = 0
     val_frac: float = 0.2
+    # Keep the whole dataset in device memory and extract windows inside the
+    # jitted step (fast path; requires equal-length episodes). Falls back to
+    # host-side gathering otherwise.
+    device_data: bool = True
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
 
@@ -62,6 +66,32 @@ def _batch_loss(model: GraphODE, num_agvs, distance_threshold):
         return jnp.sum(losses * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
     return loss_fn
+
+
+def _extract_windows(episodes_dev, positions_dev, seq_len, e_idx, t_idx):
+    """On-device window extraction: (ep, t) index pairs -> the exact
+    TrajectoryDataset.window semantics (zero-padded warmup, count, next
+    positions) via dynamic slices — no host copies in the training loop.
+
+    The dataset tensors are passed as arguments (NOT closed over) so they
+    stay runtime inputs rather than being baked into the compiled program
+    as constants.
+    """
+    W = seq_len
+
+    def one(e, t):
+        ep = episodes_dev[e]  # (T, N, D)
+        T = ep.shape[0]
+        start = jnp.clip(t - W + 1, 0, T - W)
+        obs_w = jax.lax.dynamic_slice_in_dim(ep, start, W, axis=0)
+        slot_t = start + jnp.arange(W)
+        valid = slot_t <= t
+        obs_w = jnp.where(valid[:, None, None], obs_w, 0.0)
+        count = jnp.minimum(t + 1, W).astype(jnp.int32)
+        next_pos = positions_dev[e, t + 1]
+        return obs_w, count, next_pos
+
+    return jax.vmap(one)(e_idx, t_idx)
 
 
 def train_gde(
@@ -102,23 +132,65 @@ def train_gde(
 
     loss_fn = _batch_loss(model, dataset.num_agvs, config.distance_threshold)
 
+    # Device-resident dataset fast path: windows are cut on device from the
+    # stacked episode tensor, so the host only ships (B, 2) index pairs.
+    ep_lens = {ep.shape[0] for ep in dataset.episodes}
+    use_dev = config.device_data and len(ep_lens) == 1
+    data = {}
+    if use_dev:
+        data = {
+            "episodes": meshlib.replicate(
+                mesh, jnp.asarray(np.stack(dataset.episodes))
+            ),
+            "positions": meshlib.replicate(
+                mesh, jnp.asarray(np.stack(dataset._positions))
+            ),
+        }
+        index_np = np.asarray(dataset._index, np.int32)  # (M, 2)
+
+    seq_len = dataset.seq_len
+
+    def batch_to_loss_input(batch, data):
+        if not use_dev:
+            return batch
+        obs, count, nxt = _extract_windows(
+            data["episodes"], data["positions"], seq_len,
+            batch["idx"][:, 0], batch["idx"][:, 1],
+        )
+        return {
+            "obs": obs,
+            "count": count,
+            "next_pos": nxt,
+            "weight": batch["weight"],
+        }
+
     @jax.jit
-    def train_step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    def train_step(params, opt_state, batch, data):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch_to_loss_input(batch, data))
+        )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    eval_loss = jax.jit(loss_fn)
+    eval_loss = jax.jit(
+        lambda p, b, data: loss_fn(p, batch_to_loss_input(b, data))
+    )
 
     def device_batch(idx):
-        b = dataset.batch(idx)
-        b = {
-            "obs": b["obs"],
-            "count": b["count"],
-            "next_pos": b["next_pos"],
-            "weight": np.ones(len(idx), np.float32),
-        }
+        if use_dev:
+            b = {
+                "idx": index_np[np.asarray(idx)],
+                "weight": np.ones(len(idx), np.float32),
+            }
+        else:
+            raw = dataset.batch(idx)
+            b = {
+                "obs": raw["obs"],
+                "count": raw["count"],
+                "next_pos": raw["next_pos"],
+                "weight": np.ones(len(idx), np.float32),
+            }
         b, mask = meshlib.pad_to_multiple(
             jax.tree.map(jnp.asarray, b), n_dev
         )
@@ -163,7 +235,7 @@ def train_gde(
         tot, nb = 0.0, 0
         for i in range(0, len(perm) - B + 1, B):
             batch = device_batch(perm[i : i + B])
-            params, opt_state, loss = train_step(params, opt_state, batch)
+            params, opt_state, loss = train_step(params, opt_state, batch, data)
             tot += float(loss)
             nb += 1
         train_loss = tot / max(nb, 1)
@@ -171,7 +243,7 @@ def train_gde(
         vtot, vnb = 0.0, 0
         for i in range(0, max(len(val_idx) - B + 1, 1), B):
             batch = device_batch(val_idx[i : i + B])
-            vtot += float(eval_loss(params, batch))
+            vtot += float(eval_loss(params, batch, data))
             vnb += 1
         val_loss = vtot / max(vnb, 1)
         history["train_loss"].append(train_loss)

@@ -62,9 +62,6 @@ class WarehouseEnv:
         obs = jax.vmap(observations.observe, in_axes=(None, 0))(self.params, new_state)
         return obs, new_state, rewards, done, info
 
-    def hash_key(self):
-        return self.config
-
     def __hash__(self):
         return hash(self.config)
 

@@ -232,3 +232,25 @@ def test_graph_ode_dopri5(env, obs_state):
     params = model.init(jax.random.PRNGKey(0), g, jnp.array([0.0, 1.0]))
     out = model.apply(params, g, jnp.array([0.0, 1.0]))
     assert np.isfinite(np.asarray(out["trajectories"])).all()
+
+
+def test_masks_from_feats_matches_env_masks(env, obs_state):
+    """Replay-side mask reconstruction agrees with the live env masks
+    everywhere except the pending-unload exclusion (which needs live agent
+    intents; masks_from_feats can only be MORE permissive there)."""
+    from swarm_ode_tpu.env.observations import compute_valid_action_masks
+    from swarm_ode_tpu.graphs.hetero import masks_from_feats
+
+    obs, state = obs_state
+    a, p, l = split_observation(env.params, obs)
+    m_feat = np.asarray(masks_from_feats(env.params, a, p, l))
+    m_env = np.asarray(compute_valid_action_masks(env.params, state))
+    # env mask valid => feature mask valid (feature mask is a superset only
+    # where an AGV is about to unload)
+    assert np.all(m_feat[m_env > 0] > 0)
+    diff = (m_feat > 0) & (m_env == 0)
+    # any extra-permissive entries are rack-cell actions for carrying AGVs
+    G = env.params.num_goals
+    if diff.any():
+        rows, cols = np.nonzero(diff)
+        assert np.all(cols > G)

@@ -128,7 +128,40 @@ class COMAAgent:
 
         # ---- actors (gru.py:460-506) ----
         cur_q = jax.lax.stop_gradient(cur_q)  # (B, A)
-        adv = cur_q - cur_q.mean(axis=1, keepdims=True)
+        if cfg.use_counterfactual:
+            # Full COMA counterfactual baseline (reference gru.py:360-404):
+            # A_i = Q(s, u) - sum_a pi_i(a) Q(s, (u_{-i}, a)). Costs
+            # A x action_size critic evaluations per sample; the reference
+            # loops this in Python (and never wired it in); here it is a
+            # vmapped sweep, practical for small action spaces.
+            n_agents = self.env_params.num_agents
+
+            def probs_for(feats):
+                logits = self._logits(state.actor_params, self._graph(feats))
+                return jax.nn.softmax(logits, axis=-1)  # (A, act)
+
+            probs = jax.lax.stop_gradient(
+                jax.vmap(probs_for)(batch["obs_feats"])
+            )  # (B, A, act)
+
+            def cf_baseline(i):
+                def q_for(a):
+                    cf = batch["actions"].at[:, i].set(a)
+                    return self.critic.apply(
+                        state.critic_params, batch["global_state"], cf
+                    )[:, i]  # (B,)
+
+                cf_q = jax.vmap(q_for)(
+                    jnp.arange(self.action_size)
+                )  # (act, B)
+                return jnp.sum(probs[:, i, :].T * cf_q, axis=0)  # (B,)
+
+            baseline = jax.vmap(cf_baseline)(jnp.arange(n_agents)).T  # (B, A)
+            adv = cur_q - jax.lax.stop_gradient(baseline)
+        else:
+            # Simplified advantage actually used by the reference's update
+            # (gru.py:481-497): Q_i minus the per-sample mean.
+            adv = cur_q - cur_q.mean(axis=1, keepdims=True)
 
         def actor_loss_fn(ap):
             def one(feats, actions, adv_row):

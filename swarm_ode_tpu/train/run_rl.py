@@ -48,6 +48,8 @@ class RLRunConfig:
     batch_size: int = 32
     learn_every: int = 1
     target_sync_episodes: int = 20  # IQL (reference gru.py target sync)
+    buffer_clear_episodes: int = 0  # clear replay every N episodes
+    # (reference clears every 200, gru.py:1258-1260); 0 = never
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
@@ -301,6 +303,10 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             )
         if cfg.algo == "iql" and (ep + 1) % cfg.target_sync_episodes == 0:
             astate = agent.sync_target(astate)
+        if cfg.buffer_clear_episodes and (
+            (ep + B) % cfg.buffer_clear_episodes < B
+        ):
+            buf = replay.clear(buf)
         stats = {
             "episode": ep,
             "return": float(rew_sum.sum()),

@@ -331,7 +331,9 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 f" | [loss={stats['loss']:.4f}] [{stats['seconds']:.1f}s]",
                 flush=True,
             )
-        if ckpt and (ep + 1) % cfg.checkpoint_every == 0:
+        # ep advances in strides of B envs; fire when a multiple of
+        # checkpoint_every falls inside this stride.
+        if ckpt and (ep + B) % cfg.checkpoint_every < B:
             ckpt.save(ep, {"agent": jax.tree.map(np.asarray, astate)},
                       force=True)
 

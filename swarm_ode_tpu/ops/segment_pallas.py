@@ -33,8 +33,14 @@ def _seg_kernel(dst_ref, data_ref, out_ref, *, num_segments: int):
     e_blk = dst.shape[0]
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (num_segments, e_blk), 0)
     onehot = (seg_ids == dst[:, 0][None, :]).astype(jnp.float32)  # (N, E_blk)
+    # HIGHEST precision: the v5e MXU's default f32 path quantizes inputs to
+    # bf16 (~1e-2 abs error on unit-scale sums); a reduction kernel must be
+    # exact, so take the 3-pass f32-equivalent matmul.
     out_ref[:] += jnp.dot(
-        onehot, data_ref[:], preferred_element_type=jnp.float32
+        onehot,
+        data_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -10,7 +10,7 @@ from swarm_ode_tpu.policies import heuristic as H
 cfg = EnvConfig.from_env_id("tarware-medium-19agvs-9pickers-partialobs-v1")
 lay = build_layout(cfg); params = make_params(cfg, lay)
 policy = H.make_policy(params, lay)
-B = 4096
+B = 1024
 def one(key):
     es = step_mod.reset(params, key)
     h = H.init_state(params)

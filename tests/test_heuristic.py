@@ -103,3 +103,29 @@ def test_mission_lifecycle_delivers(setup):
     m = np.asarray(missions)
     # all mission phases occur
     assert set(np.unique(m)) >= {H.NONE, H.PICKING, H.DELIVERING, H.RETURNING}
+
+
+def test_heuristic_agent_only_env_delivers():
+    """num_pickers=0 (AGENT self-loading agents, warehouse.py:171-175): the
+    dispatcher runs without picker logic and still delivers."""
+    cfg = EnvConfig(shelf_rows=1, shelf_columns=3, num_agvs=4, num_pickers=0,
+                    observation_type="global")
+    lay = build_layout(cfg)
+    params = make_params(cfg, lay)
+    policy = H.make_policy(params, lay)
+
+    @jax.jit
+    def run(key):
+        es = step_mod.reset(params, key)
+        h = H.init_state(params)
+
+        def body(carry, _):
+            es, h = carry
+            a, h = policy(params, es, h)
+            es, rew, done, info = step_mod.step(params, es, a)
+            return (es, h), info["shelf_deliveries"]
+
+        (es, h), deliv = jax.lax.scan(body, (es, h), None, length=250)
+        return deliv.sum()
+
+    assert int(run(jax.random.PRNGKey(0))) > 5

@@ -81,6 +81,13 @@ def register_gym_envs():
     _REGISTERED = True
 
 
+def full_registration():
+    """Alias of register_gym_envs (reference tarware/__init__.py:47-67 —
+    its version passes a `sensor_range` kwarg Warehouse never accepted, so
+    the working equivalent is the standard registration)."""
+    register_gym_envs()
+
+
 def make(env_id_str: str, **overrides):
     """Create a gym-adapter Warehouse directly from a reference-style env id
     (no gymnasium registry required)."""

@@ -43,12 +43,13 @@ class HeteroGraphODENetwork:
         num_layers: int = 2,
         ode_hidden_dim: int = 32,
         solver: str = "euler",
+        coord_scale: float = 1.0,
     ):
         self.node_dims = dict(node_dims)
         self.action_size = action_size
         self.hidden_dim = hidden_dim
         self.solver = solver
-        self.encoder = HeteroGNNEncoder(hidden_dim, num_layers)
+        self.encoder = HeteroGNNEncoder(hidden_dim, num_layers, coord_scale)
         self.ode_func_agv = ODEFunction(hidden_dim, ode_hidden_dim)
         self.ode_func_picker = ODEFunction(hidden_dim, ode_hidden_dim)
         self.agv_head = QHead(hidden_dim, action_size)

@@ -24,6 +24,7 @@ class HeteroGraphGRUNetwork(nn.Module):
     action_size: int
     hidden_dim: int = 256
     num_layers: int = 2
+    coord_scale: float = 1.0
 
     @nn.compact
     def __call__(
@@ -33,7 +34,7 @@ class HeteroGraphGRUNetwork(nn.Module):
         picker_hidden: jnp.ndarray,  # (P, hidden)
     ) -> Dict[str, jnp.ndarray]:
         h_agv, h_pick, h_loc = HeteroGNNEncoder(
-            self.hidden_dim, self.num_layers, name="encoder"
+            self.hidden_dim, self.num_layers, self.coord_scale, name="encoder"
         )(g)
         new_agv_hidden, agv_out = nn.GRUCell(self.hidden_dim, name="agv_gru")(
             agv_hidden, h_agv

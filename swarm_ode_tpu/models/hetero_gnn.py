@@ -53,15 +53,30 @@ class HeteroConvBlock(nn.Module):
 
 
 class HeteroGNNEncoder(nn.Module):
-    """Type embeddings + stacked HeteroConv blocks with ReLU."""
+    """Type embeddings + stacked HeteroConv blocks with ReLU.
+
+    `coord_scale` < 1 normalizes the raw grid-coordinate features (agv cols
+    3:7, picker cols 0:4) before embedding — the reference feeds raw
+    coordinates (values up to the grid size) into its Q networks, which
+    makes initial Q values O(100) and destabilizes TD learning; scaling
+    keeps the math otherwise identical.
+    """
 
     hidden_dim: int = 64
     num_layers: int = 2
+    coord_scale: float = 1.0
 
     @nn.compact
     def __call__(self, g: HeteroGraph) -> Tuple[jnp.ndarray, ...]:
-        h_agv = nn.Dense(self.hidden_dim, name="agv_embedding")(g.agv_x)
-        h_pick = nn.Dense(self.hidden_dim, name="picker_embedding")(g.picker_x)
+        agv_x, picker_x = g.agv_x, g.picker_x
+        if self.coord_scale != 1.0:
+            s = jnp.asarray(
+                [1.0, 1.0, 1.0] + [self.coord_scale] * 4, jnp.float32
+            )
+            agv_x = agv_x * s
+            picker_x = picker_x * self.coord_scale
+        h_agv = nn.Dense(self.hidden_dim, name="agv_embedding")(agv_x)
+        h_pick = nn.Dense(self.hidden_dim, name="picker_embedding")(picker_x)
         h_loc = nn.Dense(self.hidden_dim, name="location_embedding")(g.loc_x)
         for i in range(self.num_layers):
             h_agv, h_pick, h_loc = HeteroConvBlock(
@@ -94,11 +109,12 @@ class HeteroGNNNetwork(nn.Module):
     action_size: int
     hidden_dim: int = 64
     num_layers: int = 2
+    coord_scale: float = 1.0
 
     @nn.compact
     def __call__(self, g: HeteroGraph) -> Dict[str, jnp.ndarray]:
         h_agv, h_pick, h_loc = HeteroGNNEncoder(
-            self.hidden_dim, self.num_layers, name="encoder"
+            self.hidden_dim, self.num_layers, self.coord_scale, name="encoder"
         )(g)
         return {
             "agv_q_values": QHead(self.hidden_dim, self.action_size,

@@ -36,6 +36,10 @@ class QMIXConfig:
     grad_clip: float = 10.0
     batch_size: int = 32
     update_target_freq: int = 200
+    # Polyak soft target updates (0 = reference-style hard sync every
+    # update_target_freq steps). Small tau (e.g. 5e-3) is the standard
+    # stabilizer for per-step TD training.
+    target_tau: float = 0.0
     mixing_embed_dim: int = 32
     hypernet_embed: int = 64
 
@@ -155,10 +159,18 @@ class QMIXAgent:
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         step = state.step + 1
-        sync = (step % cfg.update_target_freq) == 0
-        target_params = jax.tree.map(
-            lambda t, p: jnp.where(sync, p, t), state.target_params, params
-        )
+        if cfg.target_tau > 0:
+            tau = cfg.target_tau
+            target_params = jax.tree.map(
+                lambda t, p: (1.0 - tau) * t + tau * p,
+                state.target_params,
+                params,
+            )
+        else:
+            sync = (step % cfg.update_target_freq) == 0
+            target_params = jax.tree.map(
+                lambda t, p: jnp.where(sync, p, t), state.target_params, params
+            )
         new_state = QMIXState(
             params=params,
             target_params=target_params,

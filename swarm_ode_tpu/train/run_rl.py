@@ -50,18 +50,25 @@ class RLRunConfig:
     target_sync_episodes: int = 20  # IQL (reference gru.py target sync)
     buffer_clear_episodes: int = 0  # clear replay every N episodes
     # (reference clears every 200, gru.py:1258-1260); 0 = never
+    # Team reward for QMIX/COMA: 'mean' keeps the value scale independent of
+    # agent count (stable on medium); 'sum' is the reference's convention
+    # (run_gnode.py team reward) but diverges at 28 agents with gamma=0.999.
+    team_reward: str = "mean"
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
 
 
 def _make_network(cfg: RLRunConfig, action_size: int, num_agvs: int = 0,
-                  num_pickers: int = 0):
+                  num_pickers: int = 0, coord_scale: float = 1.0):
     node_dims = {"agv": 7, "picker": 4, "location": 2}
     if cfg.net == "gnode":
-        return HeteroGraphODENetwork(node_dims, action_size, cfg.hidden_dim)
+        return HeteroGraphODENetwork(node_dims, action_size, cfg.hidden_dim,
+                                     coord_scale=coord_scale)
     if cfg.net == "gnn":
-        net = HeteroGNNNetwork(action_size=action_size, hidden_dim=cfg.hidden_dim)
+        net = HeteroGNNNetwork(action_size=action_size,
+                               hidden_dim=cfg.hidden_dim,
+                               coord_scale=coord_scale)
 
         class _Wrap:  # align flax module to init/apply composite protocol
             def init(self, key, g):
@@ -75,7 +82,8 @@ def _make_network(cfg: RLRunConfig, action_size: int, num_agvs: int = 0,
         from swarm_ode_tpu.models.gru import HeteroGraphGRUNetwork
 
         net = HeteroGraphGRUNetwork(
-            action_size=action_size, hidden_dim=cfg.hidden_dim
+            action_size=action_size, hidden_dim=cfg.hidden_dim,
+            coord_scale=coord_scale,
         )
         h0 = (jnp.zeros((num_agvs, cfg.hidden_dim)),
               jnp.zeros((num_pickers, cfg.hidden_dim)))
@@ -137,7 +145,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
     gs_dim = int(_global_state(feats0).shape[0])
 
     gs_scale = 1.0 / float(max(params.grid_h, params.grid_w))
-    net = _make_network(cfg, action_size, params.num_agvs, params.num_pickers)
+    net = _make_network(cfg, action_size, params.num_agvs,
+                        params.num_pickers, coord_scale=gs_scale)
     is_gru = cfg.net == "gru"
     if is_gru and cfg.algo != "iql":
         # The reference pairs the GRU net with IQL only (gru.py:1035-1275).
@@ -148,7 +157,7 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         agent = QMIXAgent(net, params, gs_dim,
                           QMIXConfig(batch_size=cfg.batch_size))
     elif cfg.algo == "coma":
-        encoder = HeteroGNNEncoder(cfg.hidden_dim, 2)
+        encoder = HeteroGNNEncoder(cfg.hidden_dim, 2, coord_scale=gs_scale)
         agent = COMAAgent(encoder, params, action_size, gs_dim,
                           cfg.hidden_dim, COMAConfig())
     else:
@@ -186,11 +195,16 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 b["extras"] = sampled["extras"]
                 b["next_extras"] = sampled["next_extras"]
             return b
+        team = (
+            sampled["rewards"].mean(-1)
+            if cfg.team_reward == "mean"
+            else sampled["rewards"].sum(-1)
+        )
         return {
             "obs_feats": sampled["obs_feats"],
             "next_feats": sampled["next_feats"],
             "actions": sampled["actions"],
-            "reward": sampled["rewards"].sum(-1),  # team reward
+            "reward": team,
             "global_state": sampled["global_state"],
             "next_global_state": sampled["next_global_state"],
             "done": sampled["done"],
@@ -296,7 +310,7 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                     "obs_feats": sampled["obs_feats"],
                     "global_state": sampled["global_state"],
                     "actions": sampled["actions"],
-                    "rewards": sampled["rewards"].sum(-1),
+                    "rewards": sampled["rewards"].mean(-1) if cfg.team_reward == "mean" else sampled["rewards"].sum(-1),
                     "next_global_state": sampled["next_global_state"],
                     "dones": sampled["done"],
                 },

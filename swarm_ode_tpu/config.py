@@ -70,6 +70,10 @@ class EnvConfig:
     bfs_backend: str = "auto"
     # Replan-BFS relaxation sweeps; 0 = auto (max(32, (H+W)//2)).
     dynamic_bfs_iters: int = 0
+    # Budgeted replanning: compute exact per-agent avoidance BFS only for up
+    # to N replan-flagged agents per step; path-existence for everyone else
+    # comes from a shared connectivity map. 0 = exact for all agents.
+    replan_budget: int = 0
 
     @property
     def num_agents(self) -> int:

@@ -162,19 +162,33 @@ def reset(params: EnvParams, key: jnp.ndarray) -> EnvState:
     )
 
 
-def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
-    """Distance-to-target and next-hop AT THE AGENT'S OWN CELL for replanning
-    agents, per config.replan_mode."""
+def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy,
+                         s_dist, s_nd, replan_flags):
+    """(d, nd, dyn_ok) AT THE AGENT'S OWN CELL for replanning agents, per
+    config.replan_mode. `s_dist`/`s_nd` are the static-field values used as
+    fallback by the budgeted mode; `replan_flags` prioritizes the budget."""
     A = params.num_agents
     x, y = xy[:, 0], xy[:, 1]
     if params.replan_mode == "bfs":
-        return replan_query(params, occupied, targets_yx, xy[:, ::-1], cls)
+        if params.replan_budget > 0:
+            from swarm_ode_tpu.env.pathfinding import replan_query_budgeted
+
+            d, nd, dyn_ok = replan_query_budgeted(
+                params, occupied, targets_yx, xy[:, ::-1], cls,
+                replan_flags, params.replan_budget,
+            )
+            # Out-of-budget agents follow the static field.
+            d = jnp.where(nd >= 0, d, jnp.where(dyn_ok, s_dist, INF32))
+            nd = jnp.where(nd >= 0, nd, s_nd)
+            return d, nd, dyn_ok
+        d, nd = replan_query(params, occupied, targets_yx, xy[:, ::-1], cls)
+        return d, nd, d < INF32
     # Static-field fallback ('off' / 'greedy'): distance from the static
     # field; 'greedy' biases the next hop toward unoccupied neighbors.
     tgt_idx = jnp.maximum(state.agent_target - 1, 0)
     sdist, snd = static_dist_nextdir(params, tgt_idx, cls, xy)
     if params.replan_mode == "off":
-        return sdist, snd
+        return sdist, snd, sdist < INF32
     H, W = params.grid_h, params.grid_w
     best_score = jnp.full(A, jnp.int32(1 << 30))
     best_dir = snd
@@ -189,7 +203,7 @@ def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy):
         take = score < best_score
         best_score = jnp.where(take, score, best_score)
         best_dir = jnp.where(take, d, best_dir)
-    return sdist, best_dir
+    return sdist, best_dir, sdist < INF32
 
 
 def step(
@@ -258,18 +272,19 @@ def step(
     tgt_cell = params.action_cells[tgt_idx]  # (A, 2) (y, x)
     tgt_y, tgt_x = tgt_cell[:, 0], tgt_cell[:, 1]
 
-    # ---------------- Dynamic replan fields (warehouse.py:469,:502) ---------
-    dyn_dist_at, dyn_nd_at = _replan_dist_nextdir(
+    # ---------------- Phase 1b statics + dynamic replan fields --------------
+    s_dist, s_nd = static_dist_nextdir(params, tgt_idx, cls, xy)
+    dyn_dist_at, dyn_nd_at, dyn_ok = _replan_dist_nextdir(
         params,
         state.replace(agent_target=target),
         occupied,
         tgt_cell,
         cls,
         xy,
+        s_dist,
+        s_nd,
+        replan,
     )
-
-    # ---------------- Phase 1b: action attribution (warehouse.py:377-404) ---
-    s_dist, s_nd = static_dist_nextdir(params, tgt_idx, cls, xy)
     use_dyn = replan
     d = jnp.where(use_dyn, dyn_dist_at, s_dist)
     nd = jnp.where(use_dyn, dyn_nd_at, s_nd)
@@ -366,7 +381,6 @@ def step(
     )
     clashes = jnp.sum(trigger)
 
-    dyn_ok = dyn_dist_at < INF32
     fixing = jnp.where(yields, FIXING_CLASH_TIME, fixing)
     fixing = jnp.where(trigger, jnp.where(dyn_ok, FIXING_CLASH_TIME, 0), fixing)
     replan = replan | (trigger & dyn_ok)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from swarm_ode_tpu.definitions import Action
 from swarm_ode_tpu.env.queries import occupant_max_id
 from swarm_ode_tpu.env.state import EnvParams, EnvState
+from swarm_ode_tpu.ops.take import take_ids
 
 
 def _carried_flags(params: EnvParams, state: EnvState) -> jnp.ndarray:
@@ -92,7 +93,9 @@ def empty_shelf_info(params: EnvParams, state: EnvState) -> jnp.ndarray:
     is_loader = params.agent_type != 1  # AgentType.PICKER
     aid = occupant_max_id(state.agent_xy, is_loader, xs, ys)
     areq = jnp.where(
-        aid > 0, state.agent_req_action[jnp.maximum(aid - 1, 0)], Action.NOOP
+        aid > 0,
+        take_ids(state.agent_req_action, jnp.maximum(aid - 1, 0)),
+        Action.NOOP,
     )
     pending_unload = (cid > 0) & ((areq == Action.NOOP) | (areq == Action.TOGGLE_LOAD))
     return ((sid == 0) & ~pending_unload).astype(jnp.float32)

@@ -48,6 +48,7 @@ from swarm_ode_tpu.definitions import (
 )
 from swarm_ode_tpu.env.pathfinding import INF32, replan_query
 from swarm_ode_tpu.env.queries import occupant_max_id
+from swarm_ode_tpu.ops.take import take_ids, take_many
 from swarm_ode_tpu.env.state import EnvParams, EnvState, agent_class
 
 # Direction value -> index on the clockwise wheel [UP, RIGHT, DOWN, LEFT]
@@ -89,8 +90,46 @@ def static_dist_at(
     man = jnp.abs(ty - y) + jnp.abs(tx - x)
     if params.num_pickers == 0:
         return man
-    d_pick = params.field_dist_picker[tgt_idx, y, x]
+    d_pick, _ = _picker_field_lookup(params, tgt_idx, y, x)
     return jnp.where(cls == 0, man, d_pick)
+
+
+def _picker_field_lookup(params, tgt_idx, y, x):
+    """field[tgt_idx, y, x] for the trailing picker rows, via one-hot
+    contractions instead of a (T, H, W) gather (TPU gathers run ~1.5 GiB/s
+    and dominated the round-1 profile). Agents are ordered AGVs first, then
+    pickers (make_params), so only the last P rows are evaluated; AGV rows
+    of the returned (A,) arrays are zero — callers mask by class.
+
+    Returns (dist, next_dir) as int32 (A,) arrays."""
+    A = tgt_idx.shape[0]
+    P = params.num_pickers
+    H, W = params.grid_h, params.grid_w
+    T = params.field_dist_picker.shape[0]
+    s = A - P
+    ti, yi, xi = tgt_idx[s:], y[s:], x[s:]
+    oh_t = (
+        ti[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    # Constant-folded at compile time (params are closure constants).
+    tab = jnp.concatenate(
+        [
+            params.field_dist_picker.reshape(T, H * W).astype(jnp.float32),
+            params.field_next_dir_picker.reshape(T, H * W).astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (T, 2*H*W)
+    # Exact: one-hot rows select single table entries (ints < 2^24 and the
+    # exactly-representable INF32); HIGHEST keeps the MXU in f32 passes.
+    g = jax.lax.dot(oh_t, tab, precision=jax.lax.Precision.HIGHEST)
+    oh_p = (yi * W + xi)[:, None] == jnp.arange(H * W, dtype=jnp.int32)[None, :]
+    d = jnp.sum(jnp.where(oh_p, g[:, : H * W], 0.0), axis=1)
+    nd = jnp.sum(jnp.where(oh_p, g[:, H * W :], 0.0), axis=1)
+    pad = jnp.zeros(s, jnp.int32)
+    return (
+        jnp.concatenate([pad, d.astype(jnp.int32)]),
+        jnp.concatenate([pad, nd.astype(jnp.int32)]),
+    )
 
 
 def static_dist_nextdir(
@@ -118,8 +157,7 @@ def static_dist_nextdir(
     nd_free = jnp.where(man == 0, -1, nd_free)
     if params.num_pickers == 0:
         return man, nd_free
-    d_pick = params.field_dist_picker[tgt_idx, y, x]
-    nd_pick = params.field_next_dir_picker[tgt_idx, y, x].astype(jnp.int32)
+    d_pick, nd_pick = _picker_field_lookup(params, tgt_idx, y, x)
     d = jnp.where(cls == 0, man, d_pick)
     nd = jnp.where(cls == 0, nd_free, nd_pick)
     return d, nd
@@ -316,7 +354,11 @@ def step(
     # (warehouse.py:393-404). AGV reqs are final at this point because the
     # reference processes AGVs (lower ids) before pickers.
     tgt_agv = agv_at(tgt_x, tgt_y)
-    tgt_agv_req = jnp.where(tgt_agv > 0, req[jnp.maximum(tgt_agv - 1, 0)], Action.NOOP)
+    tgt_agv_req = jnp.where(
+        tgt_agv > 0,
+        take_ids(req, jnp.maximum(tgt_agv - 1, 0)),
+        Action.NOOP,
+    )
     agv_toggling = (tgt_agv > 0) & (tgt_agv_req == Action.TOGGLE_LOAD)
     picker_near = near & is_picker
     req = jnp.where(picker_near & ~agv_toggling, Action.NOOP, req)
@@ -364,11 +406,10 @@ def step(
     occ_id = jnp.where(block_same, occ_same, jnp.where(block_other, occ_other, 0))
     occ_i = jnp.maximum(occ_id - 1, 0)
     has_occ = occupied_block & (occ_id > 0)
-    occ_req = req[occ_i]
+    occ_req, occ_is_mover, occ_moved, occ_dest_x, occ_dest_y, occ_fixing = (
+        take_many(occ_i, req, mover, moved, req_x, req_y, fixing)
+    )
     occ_rotating = (occ_req == Action.LEFT) | (occ_req == Action.RIGHT)
-    occ_is_mover = mover[occ_i]
-    occ_moved = moved[occ_i]
-    occ_dest_x, occ_dest_y = req_x[occ_i], req_y[occ_i]
     occ_heads_back = ((occ_dest_x == x) & (occ_dest_y == y)) | (
         (occ_dest_x == req_x) & (occ_dest_y == req_y)
     )
@@ -376,7 +417,7 @@ def step(
         has_occ
         & ~occ_rotating
         & ~occ_moved
-        & (fixing[occ_i] == 0)
+        & (occ_fixing == 0)
         & (~occ_is_mover | occ_heads_back)
     )
     clashes = jnp.sum(trigger)

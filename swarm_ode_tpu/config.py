@@ -70,10 +70,13 @@ class EnvConfig:
     bfs_backend: str = "auto"
     # Replan-BFS relaxation sweeps; 0 = auto (max(32, (H+W)//2)).
     dynamic_bfs_iters: int = 0
-    # Budgeted replanning: compute exact per-agent avoidance BFS only for up
-    # to N replan-flagged agents per step; path-existence for everyone else
-    # comes from a shared connectivity map. 0 = exact for all agents.
-    replan_budget: int = 0
+    # Batched-replan compaction budget: in a vmapped batch, the BFS kernel
+    # runs only the rows the step consumes (replanning agents, potential
+    # clash triggers, stuck candidates), compacted across envs into a dense
+    # block of row_frac * batch * agents rows. Exact for every consumed row;
+    # overflow beyond the budget is counted in info['replan_overflow'].
+    # 1.0 disables compaction.
+    replan_row_frac: float = 0.5
 
     @property
     def num_agents(self) -> int:

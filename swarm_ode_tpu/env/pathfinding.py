@@ -59,128 +59,55 @@ def passable_grid(params, occupied, targets_yx, self_yx, classes):
     return pas | is_tgt | is_self, is_tgt
 
 
-def replan_query(params, occupied, targets_yx, self_yx, classes):
-    """Fused replan lookup: distance-to-target and next-hop at each agent's
-    own cell only. On the Pallas backend the full field never leaves VMEM."""
-    pas, _ = passable_grid(params, occupied, targets_yx, self_yx, classes)
-    W = params.grid_w
-    if params.bfs_backend == "pallas":
-        from swarm_ode_tpu.ops.bfs_pallas import bfs_query_pallas
+def passable_walled(params, occupied, targets_yx, self_yx, classes):
+    """(A, H*(W+1)) bool passable mask directly in the kernel's walled-flat
+    layout (ops/bfs_pallas.py): same semantics as passable_grid, but never
+    materializes (A, H, W) in a layout the kernel input must transpose
+    (the pad+reshape copy was 0.6 ms/step at B=1024)."""
+    A = targets_yx.shape[0]
+    H, W = params.grid_h, params.grid_w
+    Ws = W + 1
+    n = H * Ws
+    occ_w = jnp.pad(occupied, ((0, 0), (0, 1))).reshape(n)
+    # Constant-folded walled base masks (params are closure constants).
+    free_w = jnp.pad(jnp.ones((H, W), jnp.bool_), ((0, 0), (0, 1))).reshape(n)
+    pick_w = jnp.pad(params.picker_passable, ((0, 0), (0, 1))).reshape(n)
+    base = jnp.where((classes == 1)[:, None], pick_w[None, :], free_w[None, :])
+    pas = base & ~occ_w[None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (A, n), 1)
+    tgt_w = targets_yx[:, 0] * Ws + targets_yx[:, 1]
+    pos_w = self_yx[:, 0] * Ws + self_yx[:, 1]
+    return pas | (col == tgt_w[:, None]) | (col == pos_w[:, None])
 
-        tgt_flat = targets_yx[:, 0] * W + targets_yx[:, 1]
-        pos_flat = self_yx[:, 0] * W + self_yx[:, 1]
-        return bfs_query_pallas(
-            pas, tgt_flat, pos_flat, params.dynamic_bfs_iters
+
+def replan_query(params, occupied, targets_yx, self_yx, classes, need=None):
+    """Fused replan lookup: distance-to-target and next-hop at each agent's
+    own cell only. Returns (d, nd, overflow).
+
+    `need` marks the rows whose results the step actually consumes
+    (replanning agents + potential clash triggers + stuck candidates); on
+    the Pallas backend a vmapped batch compacts to those rows globally
+    before the kernel runs (see ops/bfs_pallas.bfs_query_walled_batched).
+    Rows outside `need` return (INF, -1). `overflow` counts need-rows that
+    exceeded the compaction budget (0 in the uncompacted paths)."""
+    A = classes.shape[0]
+    H, W = params.grid_h, params.grid_w
+    if need is None:
+        need = jnp.ones(A, jnp.bool_)
+    if params.bfs_backend == "pallas":
+        from swarm_ode_tpu.ops.bfs_pallas import bfs_query_walled
+
+        Ws = W + 1
+        pas_w = passable_walled(params, occupied, targets_yx, self_yx, classes)
+        tgt_w = targets_yx[:, 0] * Ws + targets_yx[:, 1]
+        pos_w = self_yx[:, 0] * Ws + self_yx[:, 1]
+        return bfs_query_walled(
+            pas_w, tgt_w, pos_w, need, H, W, params.dynamic_bfs_iters,
+            row_frac=params.replan_row_frac,
         )
     dist, pas = dynamic_fields(params, occupied, targets_yx, self_yx, classes)
-    return dist_nextdir_at(params, dist, pas, self_yx)
-
-
-def component_labels(params, occupied):
-    """(2, H, W) int32 connected-component labels per agent class over the
-    agent-free cells (min-flat-index label propagation); INF on blocked
-    cells. One shared computation replaces per-agent reachability BFS for
-    path-existence checks (the budgeted replanner)."""
-    H, W = params.grid_h, params.grid_w
-    free = jnp.ones((H, W), jnp.bool_)
-    base = jnp.stack([free, params.picker_passable])  # (2, H, W)
-    pas = base & ~occupied[None]
-    flat = jax.lax.broadcasted_iota(jnp.int32, (2, H, W), 1) * W + (
-        jax.lax.broadcasted_iota(jnp.int32, (2, H, W), 2)
-    )
-    labels = jnp.where(pas, flat, INF32)
-
-    def relax(l, _):
-        best = jnp.full_like(l, INF32)
-        for dy, dx in _NBR_DYDX:
-            best = jnp.minimum(best, _shift(l, dy, dx))
-        return jnp.where(pas, jnp.minimum(l, best), l), None
-
-    labels, _ = jax.lax.scan(
-        relax, labels, None, length=params.grid_h + params.grid_w
-    )
-    return labels
-
-
-def _cell_label_set(labels_cls, yx):
-    """(A, 5) labels of a cell and its 4 neighbors (INF where blocked/oob).
-
-    labels_cls: (A-indexed) (H, W) labels already gathered per agent class.
-    """
-    H, W = labels_cls.shape[-2], labels_cls.shape[-1]
-    A = yx.shape[0]
-    aidx = jnp.arange(A)
-    out = []
-    for dy, dx in ((0, 0),) + _NBR_DYDX:
-        ny = yx[:, 0] + dy
-        nx = yx[:, 1] + dx
-        in_b = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
-        v = labels_cls[
-            aidx, jnp.clip(ny, 0, H - 1), jnp.clip(nx, 0, W - 1)
-        ]
-        out.append(jnp.where(in_b, v, INF32))
-    return jnp.stack(out, axis=1)
-
-
-def replan_query_budgeted(
-    params, occupied, targets_yx, self_yx, classes, replan_flags, budget: int
-):
-    """Budgeted replan lookup: exact BFS fields only for up to `budget`
-    replan-flagged agents; everyone else gets path-existence from the shared
-    component labels (freed target/self cells approximated by including
-    their neighbors' labels) and static-field movement.
-
-    Returns (d, nd, dyn_ok): for in-budget agents d/nd are the exact dynamic
-    values; for the rest d is INF when no path exists (so callers'
-    `d < INF` semantics hold) and nd is -1 (unused — only flagged agents
-    follow dynamic next-hops, and flagged agents are budget-prioritized).
-    """
-    from swarm_ode_tpu.ops.bfs_pallas import bfs_query_pallas
-
-    A = targets_yx.shape[0]
-    W = params.grid_w
-    aidx = jnp.arange(A)
-
-    labels = component_labels(params, occupied)  # (2, H, W)
-    labels_per_agent = labels[classes]  # (A, H, W)
-    my_set = _cell_label_set(labels_per_agent, self_yx)  # (A, 5)
-    tgt_set = _cell_label_set(labels_per_agent, targets_yx)  # (A, 5)
-    match = (my_set[:, :, None] == tgt_set[:, None, :]) & (
-        my_set[:, :, None] < INF32
-    )
-    dyn_ok = jnp.any(match, axis=(1, 2))
-
-    # Budget selection: replan-flagged agents first, stable by index.
-    prio = jnp.where(replan_flags, aidx, aidx + A)
-    order = jnp.argsort(prio)
-    chosen = order[:budget]  # (K,)
-
-    pas, _ = passable_grid(
-        params,
-        occupied,
-        targets_yx[chosen],
-        self_yx[chosen],
-        classes[chosen],
-    )
-    tgt_flat = targets_yx[chosen, 0] * W + targets_yx[chosen, 1]
-    pos_flat = self_yx[chosen, 0] * W + self_yx[chosen, 1]
-    if params.bfs_backend == "pallas":
-        d_k, nd_k = bfs_query_pallas(
-            pas, tgt_flat, pos_flat, params.dynamic_bfs_iters
-        )
-    else:
-        dist, pas2 = dynamic_fields(
-            params, occupied, targets_yx[chosen], self_yx[chosen],
-            classes[chosen],
-        )
-        d_k, nd_k = dist_nextdir_at(params, dist, pas2, self_yx[chosen])
-
-    d = jnp.where(dyn_ok, jnp.int32(2), INF32)  # proxy distance (> 1)
-    nd = jnp.full(A, -1, jnp.int32)
-    d = d.at[chosen].set(d_k)
-    nd = nd.at[chosen].set(nd_k)
-    dyn_ok = dyn_ok.at[chosen].set(d_k < INF32)
-    return d, nd, dyn_ok
+    d, nd = dist_nextdir_at(params, dist, pas, self_yx)
+    return d, nd, jnp.int32(0)
 
 
 def dynamic_fields(

@@ -56,7 +56,7 @@ class EnvParams:
     replan_mode: str = static()
     dynamic_bfs_iters: int = static()
     bfs_backend: str = static()  # 'pallas' (VMEM-resident kernel) | 'xla'
-    replan_budget: int = static()  # 0 = exact per-agent BFS for all agents
+    replan_row_frac: float = static()  # batched-replan compaction budget
     # --- arrays ---
     agent_type: jnp.ndarray  # (A,) int32 AgentType
     highway: jnp.ndarray  # (H, W) bool
@@ -148,7 +148,7 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
             else max(32, (H + W) // 2)
         ),
         bfs_backend=_default_bfs_backend(config.bfs_backend),
-        replan_budget=config.replan_budget,
+        replan_row_frac=config.replan_row_frac,
         agent_type=jnp.asarray(agent_type),
         highway=jnp.asarray(lay.highway),
         is_goal=jnp.asarray(lay.is_goal_grid),

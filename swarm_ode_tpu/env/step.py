@@ -48,7 +48,7 @@ from swarm_ode_tpu.definitions import (
 )
 from swarm_ode_tpu.env.pathfinding import INF32, replan_query
 from swarm_ode_tpu.env.queries import occupant_max_id
-from swarm_ode_tpu.ops.take import take_ids, take_many
+from swarm_ode_tpu.ops.take import grid_at, take_ids, take_many
 from swarm_ode_tpu.env.state import EnvParams, EnvState, agent_class
 
 # Direction value -> index on the clockwise wheel [UP, RIGHT, DOWN, LEFT]
@@ -201,32 +201,23 @@ def reset(params: EnvParams, key: jnp.ndarray) -> EnvState:
 
 
 def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy,
-                         s_dist, s_nd, replan_flags):
-    """(d, nd, dyn_ok) AT THE AGENT'S OWN CELL for replanning agents, per
-    config.replan_mode. `s_dist`/`s_nd` are the static-field values used as
-    fallback by the budgeted mode; `replan_flags` prioritizes the budget."""
+                         s_dist, s_nd, need):
+    """(d, nd, dyn_ok, overflow) AT THE AGENT'S OWN CELL for replanning
+    agents, per config.replan_mode. `need` marks rows whose results are
+    consumed this step (drives the batched compaction budget)."""
     A = params.num_agents
     x, y = xy[:, 0], xy[:, 1]
     if params.replan_mode == "bfs":
-        if params.replan_budget > 0:
-            from swarm_ode_tpu.env.pathfinding import replan_query_budgeted
-
-            d, nd, dyn_ok = replan_query_budgeted(
-                params, occupied, targets_yx, xy[:, ::-1], cls,
-                replan_flags, params.replan_budget,
-            )
-            # Out-of-budget agents follow the static field.
-            d = jnp.where(nd >= 0, d, jnp.where(dyn_ok, s_dist, INF32))
-            nd = jnp.where(nd >= 0, nd, s_nd)
-            return d, nd, dyn_ok
-        d, nd = replan_query(params, occupied, targets_yx, xy[:, ::-1], cls)
-        return d, nd, d < INF32
+        d, nd, ovf = replan_query(
+            params, occupied, targets_yx, xy[:, ::-1], cls, need
+        )
+        return d, nd, d < INF32, ovf
     # Static-field fallback ('off' / 'greedy'): distance from the static
     # field; 'greedy' biases the next hop toward unoccupied neighbors.
     tgt_idx = jnp.maximum(state.agent_target - 1, 0)
     sdist, snd = static_dist_nextdir(params, tgt_idx, cls, xy)
     if params.replan_mode == "off":
-        return sdist, snd, sdist < INF32
+        return sdist, snd, sdist < INF32, jnp.int32(0)
     H, W = params.grid_h, params.grid_w
     best_score = jnp.full(A, jnp.int32(1 << 30))
     best_dir = snd
@@ -241,7 +232,7 @@ def _replan_dist_nextdir(params, state, occupied, targets_yx, cls, xy,
         take = score < best_score
         best_score = jnp.where(take, score, best_score)
         best_dir = jnp.where(take, d, best_dir)
-    return sdist, best_dir, sdist < INF32
+    return sdist, best_dir, sdist < INF32, jnp.int32(0)
 
 
 def step(
@@ -312,7 +303,17 @@ def step(
 
     # ---------------- Phase 1b statics + dynamic replan fields --------------
     s_dist, s_nd = static_dist_nextdir(params, tgt_idx, cls, xy)
-    dyn_dist_at, dyn_nd_at, dyn_ok = _replan_dist_nextdir(
+    # Rows whose dynamic values this step can consume (drives the batched
+    # BFS compaction): replan followers (d/nd), potential clash triggers
+    # (dyn_ok at Phase 2 — the blocking occupant sits on the mover's
+    # destination, so trigger agents always have an agent at L1 distance 1),
+    # and stuck candidates (dyn_ok/dyn_dist_at at Phase 3 c1).
+    l1 = jnp.abs(x[:, None] - x[None, :]) + jnp.abs(y[:, None] - y[None, :])
+    near = jnp.any(l1 == 1, axis=1)  # trigger's blocker sits at exactly L1=1
+    need = replan | (
+        busy & (near | (state.stuck_count > STUCK_THRESHOLD))
+    )
+    dyn_dist_at, dyn_nd_at, dyn_ok, replan_overflow = _replan_dist_nextdir(
         params,
         state.replace(agent_target=target),
         occupied,
@@ -321,7 +322,7 @@ def step(
         xy,
         s_dist,
         s_nd,
-        replan,
+        need,
     )
     use_dyn = replan
     d = jnp.where(use_dyn, dyn_dist_at, s_dist)
@@ -383,7 +384,7 @@ def step(
     occ_other = jnp.where(
         is_picker, agv_at(req_x, req_y), picker_at(req_x, req_y)
     )
-    dest_hw = params.highway[req_y, req_x]
+    dest_hw = grid_at(params.highway, req_y, req_x)
     block_same = occ_same > 0
     block_other = (occ_other > 0) & dest_hw
     occupied_block = mover & (block_same | block_other)
@@ -428,7 +429,7 @@ def step(
     req = jnp.where(mover & ~moved, Action.NOOP, req)
 
     # ---------------- Phase 3: stuck resolution (warehouse.py:486-519) ------
-    at_goal = params.is_goal[y, x]
+    at_goal = grid_at(params.is_goal, y, x)
     consider = (
         busy
         & (req != Action.LEFT)
@@ -497,7 +498,7 @@ def step(
     can_unload = (
         wants_unload
         & ~unload_blocked
-        & ~params.highway[y, x]
+        & ~grid_at(params.highway, y, x)
         & (
             ((params.agent_type == AgentType.AGV) & picker_here)
             | (params.agent_type == AgentType.AGENT)
@@ -642,5 +643,9 @@ def step(
         "pickers_distance_travelled": pickers_distance,
         "agvs_idle_time": jnp.sum(idle & ~is_picker),
         "pickers_idle_time": jnp.sum(idle & is_picker),
+        # Needed-rows that exceeded the batched-BFS compaction budget
+        # (replan_row_frac); 0 everywhere unless the batch is pathologically
+        # congested. Monitored, never silently truncated.
+        "replan_overflow": replan_overflow,
     }
     return new_state, rewards, done, info

@@ -124,147 +124,196 @@ def _bfs_query_kernel(
     nd_out[:] = nd
 
 
-def _prep_walled(pas, tgt_flat, pos_flat, W: int):
-    """Convert plain-flat (y*W+x) inputs to the walled layout."""
-    ty, tx = tgt_flat // W, tgt_flat % W
-    out = [ty * (W + 1) + tx]
-    if pos_flat is not None:
-        py, px = pos_flat // W, pos_flat % W
-        out.append(py * (W + 1) + px)
-    return _walled(pas), out
-
-
-def _query_single(pas, tgt_flat, pos_flat, iters, interpret):
-    A, H, W = pas.shape
-    Ws = W + 1
-    n = (H + 1) * Ws  # one wall row at the bottom
-    HWp = _round_up(n, 128)
-    pw, (tgt_w, pos_w) = _prep_walled(pas, tgt_flat, pos_flat, W)
-    pas_flat = jnp.pad(pw, ((0, 0), (0, HWp - H * Ws)))
-    tgt = tgt_w.astype(jnp.int32).reshape(A, 1)
-    pos = pos_w.astype(jnp.int32).reshape(A, 1)
-
-    d_here, nd = pl.pallas_call(
-        functools.partial(_bfs_query_kernel, Ws=Ws, iters=iters),
-        out_shape=(
-            jax.ShapeDtypeStruct((A, 1), jnp.int32),
-            jax.ShapeDtypeStruct((A, 1), jnp.int32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(pas_flat, tgt, pos)
-    return d_here[:, 0], nd[:, 0]
-
-
-def bfs_query_pallas_batched(
-    pas: jnp.ndarray,  # (B, A, H, W) bool
-    tgt_flat: jnp.ndarray,  # (B, A) int32, plain flat y*W+x
-    pos_flat: jnp.ndarray,  # (B, A) int32
-    iters: int,
-    envs_per_block: int = 8,
-    interpret: bool = False,
-):
-    """Packed batched replan query: G envs share one kernel program.
-
-    The kernel is row-independent (each sublane row is one agent's BFS), so
-    batching envs is pure row concatenation: (B, A, HW) -> (B*A, HWp) with
-    a grid over B/G blocks of G*A rows. This amortizes per-program launch
-    and pipeline overhead ~G x vs the default one-program-per-env vmap rule
-    (the round-1 bottleneck: the kernel was 45% of env step time).
-    VMEM per block: G*A*HWp*4B*(~6 live arrays) — G=8 on medium ~5 MB.
-    """
-    B, A, H, W = pas.shape
-    Ws = W + 1
-    n = (H + 1) * Ws
-    HWp = _round_up(n, 128)
-    G = max(1, min(envs_per_block, B))
-    Bp = _round_up(B, G)
-    nblk = Bp // G
-
-    pw, (tgt_w, pos_w) = _prep_walled(pas, tgt_flat, pos_flat, W)
-    pas2 = jnp.pad(
-        pw.reshape(B, A * H * Ws), ((0, Bp - B), (0, 0))
-    ).reshape(Bp * A, H * Ws)
-    pas_flat = jnp.pad(pas2, ((0, 0), (0, HWp - H * Ws)))
-    tgt = jnp.pad(tgt_w.astype(jnp.int32), ((0, Bp - B), (0, 0))).reshape(
-        Bp * A, 1
-    )
-    pos = jnp.pad(pos_w.astype(jnp.int32), ((0, Bp - B), (0, 0))).reshape(
-        Bp * A, 1
-    )
-
-    d_here, nd = pl.pallas_call(
+def _pallas_query_call(pas_flat, tgt, pos, Ws, iters, rows_per_block, interpret):
+    """pallas_call over (R, HWp) rows in blocks of rows_per_block."""
+    R, HWp = pas_flat.shape
+    assert R % rows_per_block == 0
+    nblk = R // rows_per_block
+    rb = rows_per_block
+    return pl.pallas_call(
         functools.partial(_bfs_query_kernel, Ws=Ws, iters=iters),
         grid=(nblk,),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp * A, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Bp * A, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((G * A, HWp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * A, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * A, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, HWp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((G * A, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * A, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(pas_flat, tgt, pos)
-    d_here = d_here.reshape(Bp, A)[:B]
-    nd = nd.reshape(Bp, A)[:B]
-    return d_here, nd
+
+
+def _query_walled_single(pas_w, tgt_w, pos_w, H, W, iters, interpret,
+                         rows_per_block=None):
+    """All-rows query for one env. pas_w: (A, H*(W+1)) bool walled-flat."""
+    A, n = pas_w.shape
+    Ws = W + 1
+    HWp = _round_up(n + Ws, 128)  # >= one wall row of margin at the bottom
+    rb = rows_per_block or A
+    Ap = _round_up(A, rb)
+    pas_flat = jnp.pad(pas_w.astype(jnp.int32), ((0, Ap - A), (0, HWp - n)))
+    tgt = jnp.pad(tgt_w.astype(jnp.int32), (0, Ap - A)).reshape(Ap, 1)
+    pos = jnp.pad(pos_w.astype(jnp.int32), (0, Ap - A)).reshape(Ap, 1)
+    d_here, nd = _pallas_query_call(pas_flat, tgt, pos, Ws, iters, rb, interpret)
+    return d_here[:A, 0], nd[:A, 0], jnp.int32(0)
+
+
+def bfs_query_walled_batched(
+    pas_w: jnp.ndarray,  # (B, A, H*(W+1)) bool, walled-flat
+    tgt_w: jnp.ndarray,  # (B, A) int32 walled-flat target index
+    pos_w: jnp.ndarray,  # (B, A) int32 walled-flat own cell
+    need: jnp.ndarray,  # (B, A) bool — rows whose result is consumed
+    H: int,
+    W: int,
+    iters: int,
+    row_frac: float = 0.5,
+    rows_per_block: int = 256,
+    interpret: bool = False,
+):
+    """Globally-compacted batched replan query.
+
+    The kernel is row-independent (each sublane row is one agent's BFS), so
+    the whole batch flattens to B*A rows and ONLY the rows whose results the
+    env step actually consumes (`need`: replanning agents, potential clash
+    triggers, stuck candidates — measured ~45% of rows on medium) are
+    gathered into a dense K = row_frac*B*A row block before the kernel runs.
+    Results scatter back; un-needed rows report (INF, -1). If more rows are
+    flagged than the budget (batch-sums concentrate tightly, so this is
+    rare), the overflow count per env is returned for monitoring instead of
+    failing silently (SURVEY.md §7 'no silent truncation').
+
+    This supersedes round 1's `replan_budget` approximation: compaction is
+    exact for every consumed row.
+    """
+    B, A, n = pas_w.shape
+    Ws = W + 1
+    HWp = _round_up(n + Ws, 128)
+    BA = B * A
+    BAp = _round_up(BA, rows_per_block)
+    K = _round_up(max(int(BA * row_frac), 1), rows_per_block)
+
+    pas2 = pas_w.reshape(BA, n)
+    tgt2 = tgt_w.reshape(BA).astype(jnp.int32)
+    pos2 = pos_w.reshape(BA).astype(jnp.int32)
+
+    if K >= BA:  # no compaction: run every row
+        pas_flat = jnp.pad(
+            pas2.astype(jnp.int32), ((0, BAp - BA), (0, HWp - n))
+        )
+        tgt = jnp.pad(tgt2, (0, BAp - BA)).reshape(BAp, 1)
+        pos = jnp.pad(pos2, (0, BAp - BA)).reshape(BAp, 1)
+        d, nd = _pallas_query_call(
+            pas_flat, tgt, pos, Ws, iters, rows_per_block, interpret
+        )
+        return (
+            d[:BA, 0].reshape(B, A),
+            nd[:BA, 0].reshape(B, A),
+            jnp.zeros(B, jnp.int32),
+        )
+
+    flags = need.reshape(BA)
+    iota = jnp.arange(BA, dtype=jnp.int32)
+    prio = jnp.where(flags, iota, iota + BA)
+    chosen = jnp.argsort(prio)[:K]  # flagged rows first, stable by index
+
+    pasK = jnp.pad(
+        jnp.take(pas2, chosen, axis=0).astype(jnp.int32),
+        ((0, 0), (0, HWp - n)),
+    )
+    tgtK = jnp.take(tgt2, chosen).reshape(K, 1)
+    posK = jnp.take(pos2, chosen).reshape(K, 1)
+    dK, ndK = _pallas_query_call(
+        pasK, tgtK, posK, Ws, iters, rows_per_block, interpret
+    )
+
+    d = jnp.full(BA, INF, jnp.int32).at[chosen].set(dK[:, 0])
+    nd = jnp.full(BA, -1, jnp.int32).at[chosen].set(ndK[:, 0])
+    covered = jnp.zeros(BA, jnp.bool_).at[chosen].set(True)
+    overflow = jnp.sum((flags & ~covered).reshape(B, A), axis=1).astype(
+        jnp.int32
+    )
+    return d.reshape(B, A), nd.reshape(B, A), overflow
 
 
 @functools.lru_cache(maxsize=None)
-def _query_fn(iters: int, envs_per_block: int, interpret: bool):
-    """custom_vmap wrapper: a vmapped query becomes ONE packed pallas_call
-    (G envs per program) instead of pallas's default one-program-per-env
-    batching rule."""
+def _walled_query_fn(
+    H: int, W: int, iters: int, row_frac: float, rows_per_block: int,
+    interpret: bool,
+):
+    """custom_vmap wrapper: a vmapped walled query becomes ONE compacted
+    packed pallas_call over the whole batch's rows instead of pallas's
+    default one-program-per-env batching rule."""
 
     @jax.custom_batching.custom_vmap
-    def q(pas, tgt_flat, pos_flat):
-        return _query_single(pas, tgt_flat, pos_flat, iters, interpret)
+    def q(pas_w, tgt_w, pos_w, need):
+        return _query_walled_single(pas_w, tgt_w, pos_w, H, W, iters, interpret)
 
     @q.def_vmap
-    def q_vmap(axis_size, in_batched, pas, tgt_flat, pos_flat):
+    def q_vmap(axis_size, in_batched, pas_w, tgt_w, pos_w, need):
         def bcast(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
-        pas = bcast(pas, in_batched[0])
-        tgt_flat = bcast(tgt_flat, in_batched[1])
-        pos_flat = bcast(pos_flat, in_batched[2])
-        out = bfs_query_pallas_batched(
-            pas, tgt_flat, pos_flat, iters, envs_per_block, interpret
+        pas_w = bcast(pas_w, in_batched[0])
+        tgt_w = bcast(tgt_w, in_batched[1])
+        pos_w = bcast(pos_w, in_batched[2])
+        need = bcast(need, in_batched[3])
+        out = bfs_query_walled_batched(
+            pas_w, tgt_w, pos_w, need, H, W, iters, row_frac,
+            rows_per_block, interpret,
         )
-        return out, (True, True)
+        return out, (True, True, True)
 
     return q
 
 
+def bfs_query_walled(
+    pas_w: jnp.ndarray,  # (A, H*(W+1)) bool walled-flat
+    tgt_w: jnp.ndarray,  # (A,) int32 walled-flat
+    pos_w: jnp.ndarray,  # (A,) int32 walled-flat
+    need: jnp.ndarray,  # (A,) bool
+    H: int,
+    W: int,
+    iters: int,
+    row_frac: float = 0.5,
+    rows_per_block: int = 256,
+    interpret: bool = False,
+):
+    """Fused replan query in the walled layout. Returns (d, nd, overflow).
+
+    Single-env calls compute every row; vmap over a batch routes through the
+    globally-compacted packed kernel (bfs_query_walled_batched)."""
+    return _walled_query_fn(
+        int(H), int(W), int(iters), float(row_frac), int(rows_per_block),
+        bool(interpret),
+    )(pas_w, tgt_w, pos_w, need)
+
+
 def bfs_query_pallas(
     pas: jnp.ndarray,  # (A, H, W) bool
-    tgt_flat: jnp.ndarray,  # (A,) int32
+    tgt_flat: jnp.ndarray,  # (A,) int32, plain flat y*W+x
     pos_flat: jnp.ndarray,  # (A,) int32 — agent's own cell
     iters: int,
     interpret: bool = False,
-    envs_per_block: int = 8,
 ):
-    """Fused replan query: ((A,) dist-at-own-cell, (A,) next-hop Direction).
-
-    vmap over a batch of envs routes through the packed kernel (see
-    bfs_query_pallas_batched)."""
-    return _query_fn(int(iters), int(envs_per_block), bool(interpret))(
-        pas, tgt_flat, pos_flat
+    """Fused replan query with plain (H, W) inputs: thin converter into the
+    walled layout (kept for tests and non-hot callers)."""
+    A, H, W = pas.shape
+    Ws = W + 1
+    pas_w = _walled(pas) != 0
+    tgt_w = (tgt_flat // W) * Ws + tgt_flat % W
+    pos_w = (pos_flat // W) * Ws + pos_flat % W
+    d, nd, _ = bfs_query_walled(
+        pas_w, tgt_w, pos_w, jnp.ones(A, jnp.bool_), H, W, iters,
+        interpret=interpret,
     )
+    return d, nd
 
 
 def bfs_dist_pallas(
@@ -278,7 +327,8 @@ def bfs_dist_pallas(
     Ws = W + 1
     n = (H + 1) * Ws
     HWp = _round_up(n, 128)
-    pw, (tgt_w,) = _prep_walled(pas, tgt_flat, None, W)
+    pw = _walled(pas)
+    tgt_w = (tgt_flat // W) * Ws + tgt_flat % W
     pas_flat = jnp.pad(pw, ((0, 0), (0, HWp - H * Ws)))
     tgt = tgt_w.astype(jnp.int32).reshape(A, 1)
 

@@ -23,6 +23,18 @@ def take_ids(arr: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(oh, arr[None, :], 0), axis=1).astype(arr.dtype)
 
 
+def grid_at(table: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """`table[y, x]` for a small (H, W) table at M query points, via a
+    one-hot masked reduce over the flattened grid (gather-free)."""
+    H, W = table.shape
+    flat = table.reshape(H * W)
+    pos = (y * W + x).astype(jnp.int32)
+    oh = pos[:, None] == jnp.arange(H * W, dtype=jnp.int32)[None, :]
+    if table.dtype == jnp.bool_:
+        return jnp.any(oh & flat[None, :], axis=1)
+    return jnp.sum(jnp.where(oh, flat[None, :], 0), axis=1).astype(table.dtype)
+
+
 def take_many(ids: jnp.ndarray, *arrays: jnp.ndarray):
     """take_ids for several same-length tables sharing one one-hot mask."""
     N = arrays[0].shape[0]

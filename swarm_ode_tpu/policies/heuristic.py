@@ -27,7 +27,7 @@ from swarm_ode_tpu.env.layout import Layout
 from swarm_ode_tpu.env.observations import empty_shelf_info
 from swarm_ode_tpu.env.pathfinding import INF32
 from swarm_ode_tpu.env.state import EnvParams, EnvState
-from swarm_ode_tpu.ops.take import take_ids
+from swarm_ode_tpu.ops.take import grid_at, take_ids
 
 # Mission types (reference heuristic.py:12-15)
 NONE, PICKING, RETURNING, DELIVERING = 0, 1, 2, 3
@@ -105,8 +105,8 @@ def heuristic_policy(
     # sequential scan: item cell -> action id (R,), Manhattan distances
     # (R, Na). The scan body then only masks and argmins.
     q_items = env_state.request_queue  # (R,) shelf ids
-    q_xy = env_state.shelf_xy[q_items - 1]  # (R, 2) (x, y)
-    q_rack = params.cell_to_rack[q_xy[:, 1], q_xy[:, 0]]  # (R,)
+    q_xy = jnp.stack([take_ids(env_state.shelf_xy[:, 0], q_items - 1), take_ids(env_state.shelf_xy[:, 1], q_items - 1)], axis=-1)  # (R, 2) (x, y)
+    q_rack = grid_at(params.cell_to_rack, q_xy[:, 1], q_xy[:, 0])  # (R,)
     q_act = jnp.where(q_rack >= 0, G + 1 + q_rack, 0)
     q_dist = jnp.abs(agv_y[None, :] - q_xy[:, 1][:, None]) + jnp.abs(
         agv_x[None, :] - q_xy[:, 0][:, None]
@@ -204,7 +204,7 @@ def heuristic_policy(
         # Oldest PICKING/RETURNING AGV mission per picker zone.
         needs_picker = (mission == PICKING) | (mission == RETURNING)
         m_rack = jnp.where(loc > G, loc - G - 1, 0)
-        m_zone = jnp.where(needs_picker, zones[m_rack], -1)  # (Na,)
+        m_zone = jnp.where(needs_picker, take_ids(zones, m_rack), -1)  # (Na,)
         # priority: older assignment first, then lower agv index
         prio = time_arr * Na + jnp.arange(Na, dtype=jnp.int32)
         prio = jnp.where(needs_picker, prio, jnp.int32(1 << 30))

@@ -46,3 +46,58 @@ def test_fused_query_matches_two_stage():
         )
         np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_fused))
         np.testing.assert_array_equal(np.asarray(nd_ref), np.asarray(nd_fused))
+
+
+def test_batched_compaction_matches_full():
+    """Vmapped walled query with need-row compaction: flagged rows equal the
+    uncompacted results exactly; unflagged rows report (INF, -1); overflow
+    counts rows beyond the budget."""
+    import functools
+
+    from swarm_ode_tpu.ops.bfs_pallas import INF, bfs_query_walled_batched
+
+    rng = np.random.RandomState(3)
+    B, A, H, W = 7, 6, 9, 8
+    Ws = W + 1
+    pas = rng.rand(B, A, H, W) > 0.25
+    pas_w = jnp.asarray(
+        np.pad(pas, [(0, 0), (0, 0), (0, 0), (0, 1)]).reshape(B, A, H * Ws)
+    )
+    ty = rng.randint(0, H, (B, A))
+    tx = rng.randint(0, W, (B, A))
+    py = rng.randint(0, H, (B, A))
+    px = rng.randint(0, W, (B, A))
+    tgt_w = jnp.asarray(ty * Ws + tx, jnp.int32)
+    pos_w = jnp.asarray(py * Ws + px, jnp.int32)
+    need = jnp.asarray(rng.rand(B, A) < 0.4)
+    iters = 20
+
+    q = functools.partial(
+        bfs_query_walled_batched, H=H, W=W, iters=iters, rows_per_block=8,
+        interpret=True,
+    )
+    d_full, nd_full, ovf_full = q(pas_w, tgt_w, pos_w, jnp.ones((B, A), bool),
+                                  row_frac=1.0)
+    assert int(jnp.sum(ovf_full)) == 0
+
+    d_c, nd_c, ovf_c = q(pas_w, tgt_w, pos_w, need, row_frac=0.5)
+    # Budget 0.5*42 -> 24 rows (block 8) >= 17 flagged: no overflow, every
+    # flagged row exact.
+    assert int(jnp.sum(ovf_c)) == 0
+    np.testing.assert_array_equal(
+        np.asarray(d_c)[np.asarray(need)], np.asarray(d_full)[np.asarray(need)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nd_c)[np.asarray(need)],
+        np.asarray(nd_full)[np.asarray(need)],
+    )
+
+    # Tiny budget: overflow counted, covered rows still exact.
+    d_t, nd_t, ovf_t = q(pas_w, tgt_w, pos_w, need, row_frac=0.2)
+    n_flagged = int(np.asarray(need).sum())
+    assert int(jnp.sum(ovf_t)) == max(0, n_flagged - 8)
+    covered = np.asarray(d_t) < int(INF)
+    flagged_covered = covered & np.asarray(need)
+    np.testing.assert_array_equal(
+        np.asarray(d_t)[flagged_covered], np.asarray(d_full)[flagged_covered]
+    )

@@ -76,7 +76,7 @@ class EnvConfig:
     # block of row_frac * batch * agents rows. Exact for every consumed row;
     # overflow beyond the budget is counted in info['replan_overflow'].
     # 1.0 disables compaction.
-    replan_row_frac: float = 0.5
+    replan_row_frac: float = 0.43
 
     @property
     def num_agents(self) -> int:

@@ -308,10 +308,16 @@ def step(
     # (dyn_ok at Phase 2 — the blocking occupant sits on the mover's
     # destination, so trigger agents always have an agent at L1 distance 1),
     # and stuck candidates (dyn_ok/dyn_dist_at at Phase 3 c1).
-    l1 = jnp.abs(x[:, None] - x[None, :]) + jnp.abs(y[:, None] - y[None, :])
-    near = jnp.any(l1 == 1, axis=1)  # trigger's blocker sits at exactly L1=1
+    fwd_x = x + _DIR_DX[state.agent_dir]
+    fwd_y = y + _DIR_DY[state.agent_dir]
+    # A mover's blocker can only sit on its forward cell (movers face their
+    # move direction; rotation steps are not movers), so "an agent stands on
+    # my forward cell" is an exact trigger-row superset.
+    fwd_occ = jnp.any(
+        (x[None, :] == fwd_x[:, None]) & (y[None, :] == fwd_y[:, None]), axis=1
+    )
     need = replan | (
-        busy & (near | (state.stuck_count > STUCK_THRESHOLD))
+        busy & (fwd_occ | (state.stuck_count > STUCK_THRESHOLD))
     )
     dyn_dist_at, dyn_nd_at, dyn_ok, replan_overflow = _replan_dist_nextdir(
         params,

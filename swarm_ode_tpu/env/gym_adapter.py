@@ -149,7 +149,15 @@ class Warehouse(gym.Env if gym else object):
         return tuple(out)
 
     def reset(self, seed: Optional[int] = None, options=None):
-        key = jax.random.PRNGKey(0 if seed is None else seed)
+        if seed is not None:
+            key = jax.random.PRNGKey(seed)
+        elif self._state is not None:
+            # Unseeded resets must differ episode to episode (the reference
+            # continues the global numpy RNG stream, warehouse.py:764-766):
+            # derive the next key from the previous episode's final state.
+            key = jax.random.fold_in(self._state.key, 1)
+        else:
+            key = jax.random.PRNGKey(0)
         self._state = self._jit_reset(key)
         obs = np.asarray(self._jit_obs(self._state))
         return self._split_obs(obs)

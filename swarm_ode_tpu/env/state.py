@@ -142,10 +142,14 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
         # fewer sweeps than the grid diameter suffice — measured on medium
         # (experiments/bfs_iters.py): 32 sweeps leaves deliveries/clashes/
         # stucks unchanged vs the full diameter while cutting step time ~25%.
+        # The auto default scales with layout size as the same fraction of
+        # the H+W diameter that 32 is on medium (~2/3), so larger maps keep
+        # equivalent coverage (see experiments/bfs_iters_large.py); override
+        # with EnvConfig.dynamic_bfs_iters for exact-diameter coverage.
         dynamic_bfs_iters=(
             config.dynamic_bfs_iters
             if config.dynamic_bfs_iters
-            else max(32, (H + W) // 2)
+            else max(32, (2 * (H + W)) // 3)
         ),
         bfs_backend=_default_bfs_backend(config.bfs_backend),
         replan_row_frac=config.replan_row_frac,

@@ -266,7 +266,12 @@ def heuristic_episode(env, render: bool = False, seed=None):
         )
         return es, rewards, infos
 
-    es, rewards, infos = run(jax.random.PRNGKey(0 if seed is None else seed))
+    if seed is None:
+        # Unseeded episodes must differ call to call (the reference draws
+        # from the ambient global RNG): use a process-level counter.
+        seed = heuristic_episode._unseeded_counter
+        heuristic_episode._unseeded_counter += 1
+    es, rewards, infos = run(jax.random.PRNGKey(seed))
     if render:
         from swarm_ode_tpu.env.rendering import render_state
 
@@ -279,6 +284,9 @@ def heuristic_episode(env, render: bool = False, seed=None):
     ]
     episode_returns = rewards.sum(axis=0)
     return all_infos, float(rewards.sum()), episode_returns
+
+
+heuristic_episode._unseeded_counter = 0
 
 
 def make_policy(params: EnvParams, layout: Layout):

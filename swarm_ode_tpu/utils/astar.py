@@ -20,11 +20,24 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libswarm_native.so")
 _lib = None
 
 
+def _needs_build() -> bool:
+    """Rebuild when the binary is missing OR any native source is newer than
+    it (a committed stale .so must never shadow an edited astar.cpp)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_NATIVE_DIR):
+        if name.endswith((".cpp", ".cc", ".h", ".hpp")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > lib_mtime:
+                return True
+    return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _needs_build():
         subprocess.run(
             ["make", "-C", os.path.abspath(_NATIVE_DIR)],
             check=True,

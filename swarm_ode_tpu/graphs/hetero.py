@@ -180,17 +180,37 @@ def masks_from_feats(
     must still restrict the argmax to valid actions (unmasked maxima let
     never-grounded Q values diverge — a latent instability in the
     reference's replay loops, run_gnode.py:871-875). This reproduces
-    compute_valid_action_masks (warehouse.py:727-752) from features alone;
-    the only approximation is 'empty cell' = no shelf (the pending-unload
-    exclusion needs live agent intents, which features don't carry).
+    compute_valid_action_masks (warehouse.py:727-752) from features alone.
+
+    The 'empty cell' rule excludes cells with a pending unload
+    (warehouse.py:340-356). Features carry no request intents, but a
+    carrying AGV standing on a rack cell that is its own target (or whose
+    toggling flag is set) is exactly an agent about to unload there — that
+    reconstruction closes the gap except for carrying AGVs mid-transit
+    over a rack cell that got conflict-NOOPed this step (rare; bounded by
+    tests/test_graphs_models.py::test_masks_from_feats_matches_env_masks).
     """
     A, P, L = params.num_agvs, params.num_pickers, params.num_racks
     G = params.num_goals
     loc_action = loc_feats[params.obs_rack_perm_inv]  # (L, 2) action order
     has_shelf = loc_action[:, 0] > 0
     requested = (has_shelf & (loc_action[:, 1] > 0)).astype(jnp.float32)
-    empty = (~has_shelf).astype(jnp.float32)
     carrying = agv_feats[:, 0] > 0
+    # Pending-unload reconstruction (see docstring).
+    ay = agv_feats[:, 3].astype(jnp.int32)
+    ax = agv_feats[:, 4].astype(jnp.int32)
+    aty = agv_feats[:, 5].astype(jnp.int32)
+    atx = agv_feats[:, 6].astype(jnp.int32)
+    cur_rack = params.cell_to_rack[ay, ax]  # -1 off racks
+    at_target = (ay == aty) & (ax == atx) & ~((aty == 0) & (atx == 0))
+    toggling = agv_feats[:, 2] > 0
+    pending_agv = carrying & (cur_rack >= 0) & (at_target | toggling)
+    pending = (
+        jnp.zeros(L + 1, jnp.bool_)
+        .at[jnp.where(pending_agv, cur_rack, L)]
+        .set(True, mode="drop")[:L]
+    )
+    empty = (~has_shelf & ~pending).astype(jnp.float32)
 
     def rack_target(tyx):
         ty = tyx[:, 0].astype(jnp.int32)

@@ -236,8 +236,9 @@ def test_graph_ode_dopri5(env, obs_state):
 
 def test_masks_from_feats_matches_env_masks(env, obs_state):
     """Replay-side mask reconstruction agrees with the live env masks
-    everywhere except the pending-unload exclusion (which needs live agent
-    intents; masks_from_feats can only be MORE permissive there)."""
+    everywhere except where pending-unload needs a live request intent the
+    features can't carry; masks_from_feats can only be MORE permissive, and
+    only on rack-cell actions."""
     from swarm_ode_tpu.env.observations import compute_valid_action_masks
     from swarm_ode_tpu.graphs.hetero import masks_from_feats
 
@@ -254,3 +255,48 @@ def test_masks_from_feats_matches_env_masks(env, obs_state):
     if diff.any():
         rows, cols = np.nonzero(diff)
         assert np.all(cols > G)
+
+
+def test_masks_from_feats_episode_gap_bound():
+    """Quantified mask-gap bound over a live heuristic episode: the
+    feature-mask must never forbid an env-valid action, and the
+    pending-unload reconstruction (carrying AGV on its target rack cell /
+    toggling) keeps extra-permissive entries to a tiny tail (carrying AGVs
+    conflict-NOOPed mid-transit over a rack cell)."""
+    import jax
+
+    from swarm_ode_tpu.env import step as step_mod
+    from swarm_ode_tpu.env.observations import (
+        compute_valid_action_masks,
+        observe,
+    )
+    from swarm_ode_tpu.graphs.hetero import masks_from_feats
+    from swarm_ode_tpu.policies import heuristic as H
+    from swarm_ode_tpu.env.layout import build_layout
+    from swarm_ode_tpu.env.state import make_params
+
+    cfg = EnvConfig.from_env_id("tarware-tiny-3agvs-2pickers-partialobs-v1")
+    lay = build_layout(cfg)
+    params = make_params(cfg, lay)
+    policy = H.make_policy(params, lay)
+
+    es = step_mod.reset(params, jax.random.PRNGKey(5))
+    hs = H.init_state(params)
+    step = jax.jit(step_mod.step)
+    pol = jax.jit(policy)
+
+    total = extra = missing = 0
+    for _ in range(120):
+        obs = observe(params, es)
+        a, p, l = split_observation(params, obs)
+        m_feat = np.asarray(masks_from_feats(params, a, p, l)) > 0
+        m_env = np.asarray(compute_valid_action_masks(params, es)) > 0
+        missing += int(np.sum(m_env & ~m_feat))
+        extra += int(np.sum(m_feat & ~m_env))
+        total += m_env.size
+        actions, hs = pol(params, es, hs)
+        es, _, _, _ = step(params, es, actions)
+
+    assert missing == 0, "feature mask forbade an env-valid action"
+    # Gap strictly bounded: < 0.2% of all (agent, action) entries.
+    assert extra / total < 0.002, (extra, total)

@@ -26,6 +26,11 @@ p.add_argument("--seeds", nargs="*", type=int, default=DEFAULT_SEEDS)
 p.add_argument("--num_episodes", type=int, default=200)
 p.add_argument("--batch", type=int, default=8)
 p.add_argument("--out_dir", default=".")
+p.add_argument(
+    "--schema", default="columnar", choices=["columnar", "reference"],
+    help="columnar: stacked per-episode datasets (~50x smaller files); "
+    "reference: the upstream group-per-step layout for interop",
+)
 
 if __name__ == "__main__":
     args = p.parse_args()
@@ -41,5 +46,6 @@ if __name__ == "__main__":
                 seed=seed,
                 out_path=out,
                 batch=args.batch,
+                schema=args.schema,
             )
             print(f"Completed data collection for {env_id} with seed {seed}")

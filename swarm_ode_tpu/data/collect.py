@@ -51,6 +51,7 @@ def collect_data(
     batch: int = 8,
     chunk: int = 100,
     verbose: bool = True,
+    schema: str = "columnar",
 ) -> Dict:
     """Generate `num_episodes` heuristic episodes into HDF5.
 
@@ -88,7 +89,7 @@ def collect_data(
 
         return jax.vmap(one)(es, hs)
 
-    logger = HDF5Logger(out_path)
+    logger = HDF5Logger(out_path, schema=schema)
     stats = {"episodes": 0, "deliveries": [], "pick_rates": []}
     ep_done = 0
     t_start = time.time()
@@ -110,9 +111,22 @@ def collect_data(
             logger.start_episode(
                 ep_done + b, int(seeds[b]), params, lay.rack_locations_xyg
             )
-            for t in range(steps):
-                logger.log_step({k: v[b, t] for k, v in traj.items()})
-            logger.end_episode()
+            if schema == "columnar":
+                # Fast path: the rollout is already stacked (T, ...) —
+                # write episode slices directly, no per-step python loop.
+                logger.write_columnar_episode(
+                    logger._episode, {k: v[b] for k, v in traj.items()}
+                )
+                summary = logger._episode.create_group("summary")
+                summary.create_dataset(
+                    "episode_returns", data=traj["rewards"][b].sum(axis=0)
+                )
+                summary.attrs["episode_length"] = steps
+                logger._episode = None
+            else:
+                for t in range(steps):
+                    logger.log_step({k: v[b, t] for k, v in traj.items()})
+                logger.end_episode()
             deliveries = int(traj["info_shelf_deliveries"][b].sum())
             pr = pick_rate(deliveries, steps)
             stats["deliveries"].append(deliveries)

@@ -107,7 +107,9 @@ class TrajectoryDataset:
         seq_len: int = 5,
         max_episodes: Optional[int] = None,
     ) -> "TrajectoryDataset":
-        """Load from reference-schema HDF5 files (train_gde.py:293-332)."""
+        """Load from HDF5: accepts both the reference group-per-step
+        schema (train_gde.py:293-332) and our columnar_v1 schema (stacked
+        (T, ...) datasets; see data/hdf5_logger.py)."""
         if h5py is None:
             raise ImportError("h5py is required")
         episodes: List[np.ndarray] = []
@@ -125,12 +127,17 @@ class TrajectoryDataset:
                         num_agvs = int(ep["metadata"].attrs["num_agvs"])
                         num_pickers = int(ep["metadata"].attrs["num_pickers"])
                     steps = ep["steps"]
-                    obs = np.stack(
-                        [
-                            steps[s]["observations"][:]
-                            for s in sorted(steps.keys())
-                        ]
-                    ).astype(np.float32)
+                    if ep.attrs.get("schema", b"") in (
+                        "columnar_v1", b"columnar_v1"
+                    ) or isinstance(steps.get("observations"), h5py.Dataset):
+                        obs = steps["observations"][:].astype(np.float32)
+                    else:
+                        obs = np.stack(
+                            [
+                                steps[s]["observations"][:]
+                                for s in sorted(steps.keys())
+                            ]
+                        ).astype(np.float32)
                     episodes.append(obs)
         return TrajectoryDataset(
             episodes=episodes,

@@ -125,6 +125,54 @@ def collision_prediction_metrics(
     }
 
 
+def hausdorff_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Symmetric Hausdorff distance between two trajectories (T, 2)
+    (result_analysis.ipynb cell 1 imports scipy's directed_hausdorff;
+    computed directly here — max over both directed distances)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)  # (Ta, Tb)
+    return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+
+
+def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Dynamic-time-warping distance between two trajectories (T, 2)
+    (result_analysis.ipynb cell 1 imports fastdtw): classic O(Ta*Tb) DP
+    with Euclidean point cost."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+    Ta, Tb = d.shape
+    acc = np.full((Ta + 1, Tb + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, Ta + 1):
+        # acc[i, j] = d + min(acc[i-1, j], acc[i-1, j-1], acc[i, j-1]);
+        # the in-row dependency resolves with a scan over j.
+        prev = np.minimum(acc[i - 1, 1:], acc[i - 1, :-1])
+        for j in range(1, Tb + 1):
+            acc[i, j] = d[i - 1, j - 1] + min(prev[j - 1], acc[i, j - 1])
+    return float(acc[Ta, Tb])
+
+
+def trajectory_shape_metrics(
+    pred: np.ndarray, target: np.ndarray
+) -> Dict[str, float]:
+    """Per-agent Hausdorff/DTW between predicted and true trajectories,
+    averaged over agents. pred, target: (T, N, 2)."""
+    pred = np.asarray(pred)
+    target = np.asarray(target)
+    hs, ds = [], []
+    for n in range(pred.shape[1]):
+        hs.append(hausdorff_distance(pred[:, n], target[:, n]))
+        ds.append(dtw_distance(pred[:, n], target[:, n]))
+    return {
+        "hausdorff_mean": float(np.mean(hs)),
+        "hausdorff_max": float(np.max(hs)),
+        "dtw_mean": float(np.mean(ds)),
+        "dtw_max": float(np.max(ds)),
+    }
+
+
 def spatial_density(
     positions: np.ndarray, grid_size, normalize: bool = True
 ) -> np.ndarray:

@@ -300,3 +300,27 @@ def test_masks_from_feats_episode_gap_bound():
     assert missing == 0, "feature mask forbade an env-valid action"
     # Gap strictly bounded: < 0.2% of all (agent, action) entries.
     assert extra / total < 0.002, (extra, total)
+
+
+def test_hausdorff_dtw_metrics():
+    from swarm_ode_tpu.analysis import (
+        dtw_distance,
+        hausdorff_distance,
+        trajectory_shape_metrics,
+    )
+
+    a = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    assert hausdorff_distance(a, a) == 0.0
+    assert dtw_distance(a, a) == 0.0
+    b = a + np.array([0.0, 1.0])
+    assert hausdorff_distance(a, b) == 1.0
+    assert dtw_distance(a, b) == 3.0  # 3 matched points, each 1 apart
+    # time-warp invariance: repeating a point costs ~nothing under DTW but
+    # shifts Hausdorff not at all
+    c = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    assert dtw_distance(a, c) == 0.0
+    assert hausdorff_distance(a, c) == 0.0
+    m = trajectory_shape_metrics(
+        np.stack([a, b], axis=1), np.stack([a, a], axis=1)
+    )
+    assert m["hausdorff_mean"] == 0.5 and m["dtw_mean"] == 1.5

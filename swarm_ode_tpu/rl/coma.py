@@ -28,7 +28,10 @@ class COMAConfig:
     lr_actor: float = 1e-3
     lr_critic: float = 1e-3
     gamma: float = 0.99
-    use_counterfactual: bool = False
+    # Full counterfactual baseline by default — the whole point of COMA
+    # (reference gru.py:360-404 computes it but its loop never ran); the
+    # reference's simplified A_i = Q_i - mean(Q) stays as an ablation.
+    use_counterfactual: bool = True
     actor_hidden: int = 64
     critic_hidden: int = 128
 

@@ -114,7 +114,8 @@ class IQLAgent:
         has_extras = "extras" in batch
 
         def td_loss(params):
-            def one(feats, next_feats, actions, rewards, done, *extras):
+            def one(feats, next_feats, actions, rewards, done, gamma_eff,
+                    *extras):
                 ex = nex = None
                 if has_extras:
                     ex, nex = extras
@@ -132,7 +133,9 @@ class IQLAgent:
                 q_taken = jnp.take_along_axis(
                     q, actions[:, None], axis=-1
                 ).squeeze(-1)
-                target = rewards + cfg.gamma * qn.max(-1) * (1.0 - done)
+                # 'rewards' may be a discounted n-step return with
+                # gamma_eff = gamma^m (1-step by default).
+                target = rewards + gamma_eff * qn.max(-1) * (1.0 - done)
                 target = jax.lax.stop_gradient(target)
                 err = (q_taken - target) ** 2
                 # Reference computes separate AGV / picker losses then sums
@@ -141,12 +144,14 @@ class IQLAgent:
                     return err.mean()
                 return err[:A].mean() + err[A:].mean()
 
+            B = batch["actions"].shape[0]
             args = [
                 batch["obs_feats"],
                 batch["next_feats"],
                 batch["actions"],
                 batch["rewards"],
                 batch["dones"].astype(jnp.float32),
+                batch.get("gamma_eff", jnp.full(B, cfg.gamma)),
             ]
             if has_extras:
                 args += [batch["extras"], batch["next_extras"]]

@@ -42,6 +42,25 @@ class QMIXConfig:
     target_tau: float = 0.0
     mixing_embed_dim: int = 32
     hypernet_embed: int = 64
+    # Invertible value rescaling (R2D2's h-transform): targets become
+    # h(R + gamma_eff * h^-1(Q_next)). Bounds TD magnitudes under
+    # gamma=0.999 long horizons — the round-1 medium-scale drift fix.
+    value_transform: bool = False
+
+
+_H_EPS = 1e-2
+
+
+def h_transform(x):
+    return jnp.sign(x) * (jnp.sqrt(jnp.abs(x) + 1.0) - 1.0) + _H_EPS * x
+
+
+def h_inverse(y):
+    # Closed-form inverse of h (R2D2, Pohlen et al. 2018 eq. 2).
+    s = jnp.sign(y)
+    a = jnp.abs(y)
+    num = jnp.sqrt(1.0 + 4.0 * _H_EPS * (a + 1.0 + _H_EPS)) - 1.0
+    return s * ((num / (2.0 * _H_EPS)) ** 2 - 1.0)
 
 
 @struct.dataclass
@@ -150,9 +169,17 @@ class QMIXAgent:
                 state.target_params["mixer"], next_q,
                 batch["next_global_state"],
             )
-            target = batch["reward"] + cfg.gamma * next_tot * (
-                1.0 - batch["done"].astype(jnp.float32)
-            )
+            # n-step: 'reward' is the discounted n-step return and
+            # 'gamma_eff' = gamma^m (defaults to 1-step).
+            gamma_eff = batch.get("gamma_eff", cfg.gamma)
+            not_done = 1.0 - batch["done"].astype(jnp.float32)
+            if cfg.value_transform:
+                boot = h_inverse(next_tot)
+                target = h_transform(
+                    batch["reward"] + gamma_eff * boot * not_done
+                )
+            else:
+                target = batch["reward"] + gamma_eff * next_tot * not_done
             return jnp.mean((q_tot - jax.lax.stop_gradient(target)) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -72,6 +72,63 @@ def sample(buf: ReplayBuffer, key, batch_size: int):
     return jax.tree.map(lambda s: s[idx], buf.storage)
 
 
+def sample_nstep(
+    buf: ReplayBuffer, key, batch_size: int, n: int, stride: int
+):
+    """Uniform sample with n-step chains.
+
+    Requires items to carry scalar `_t` (global env-step counter), `_ep`
+    (episode counter) and `done`. With `add_batch` writing `stride`
+    lockstep envs per step, the transition k steps later for the same env
+    sits `k*stride` slots ahead; a chain link is valid only while `_t`
+    advances by exactly 1 per link (overwritten/unwritten slots fail this),
+    the episode id matches (no bootstrapping across episode boundaries),
+    and no earlier link was terminal.
+
+    Returns the base-index sample plus:
+      nstep_rewards (B, n, ...)  per-link rewards (invalid links zeroed),
+      nstep_valid   (B, n)       link validity (k=0 always True),
+      nstep_m       (B,)         chain length m in [1, n],
+    and with next_feats / next_global_state / next_extras / done replaced
+    by the chain-END values (bootstrap state s_{t+m}).
+    """
+    cap = capacity(buf)
+    idx = jax.random.randint(
+        key, (batch_size,), 0, jnp.maximum(buf.size, 1)
+    )
+    ks = jnp.arange(n, dtype=jnp.int32)
+    chain = (idx[:, None] + ks[None, :] * stride) % cap  # (B, n)
+
+    t = buf.storage["_t"][chain]
+    ep = buf.storage["_ep"][chain]
+    done = buf.storage["done"][chain]
+    ok_link = (t == t[:, :1] + ks[None, :]) & (ep == ep[:, :1])
+    done_before = (
+        jnp.cumsum(
+            jnp.pad(done[:, :-1], ((0, 0), (1, 0))).astype(jnp.int32), axis=1
+        )
+        > 0
+    )
+    valid = jnp.cumprod(
+        (ok_link & ~done_before).astype(jnp.int32), axis=1
+    ).astype(bool)  # (B, n); k=0 trivially valid
+    m = valid.sum(axis=1)  # (B,) in [1, n]
+    last = jnp.take_along_axis(chain, (m - 1)[:, None], axis=1)[:, 0]
+
+    out = jax.tree.map(lambda s: s[idx], buf.storage)
+    rew = buf.storage["rewards"][chain]
+    out["nstep_rewards"] = jnp.where(
+        valid.reshape(valid.shape + (1,) * (rew.ndim - 2)), rew, 0.0
+    )
+    out["nstep_valid"] = valid
+    out["nstep_m"] = m
+    for k in ("next_feats", "next_global_state", "next_extras"):
+        if k in buf.storage:
+            out[k] = jax.tree.map(lambda s: s[last], buf.storage[k])
+    out["done"] = buf.storage["done"][last]
+    return out
+
+
 def clear(buf: ReplayBuffer) -> ReplayBuffer:
     """Empty the buffer (reference clears memory every 200 episodes,
     gru.py:1258-1260)."""

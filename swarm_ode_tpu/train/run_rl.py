@@ -54,6 +54,14 @@ class RLRunConfig:
     # agent count (stable on medium); 'sum' is the reference's convention
     # (run_gnode.py team reward) but diverges at 28 agents with gamma=0.999.
     team_reward: str = "mean"
+    # n-step TD targets (1 = the reference's single-step); chains are
+    # sampled from the ring buffer (rl/replay.sample_nstep) and never cross
+    # episode boundaries.
+    n_step: int = 3
+    # R2D2 h-transform value rescaling for QMIX targets (rl/qmix.py):
+    # bounds TD magnitudes at gamma=0.999 over 500-step horizons — the
+    # round-1 medium-scale drift fix.
+    value_transform: bool = True
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
@@ -155,7 +163,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         agent = IQLAgent(net, params, DQNConfig(batch_size=cfg.batch_size))
     elif cfg.algo == "qmix":
         agent = QMIXAgent(net, params, gs_dim,
-                          QMIXConfig(batch_size=cfg.batch_size))
+                          QMIXConfig(batch_size=cfg.batch_size,
+                                     value_transform=cfg.value_transform))
     elif cfg.algo == "coma":
         encoder = HeteroGNNEncoder(cfg.hidden_dim, 2, coord_scale=gs_scale)
         agent = COMAAgent(encoder, params, action_size, gs_dim,
@@ -174,6 +183,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         "global_state": _global_state(feats0, gs_scale),
         "next_global_state": _global_state(feats0, gs_scale),
         "done": jnp.bool_(False),
+        "_t": jnp.int32(0),
+        "_ep": jnp.int32(0),
     }
     if is_gru:
         example_item["extras"] = net.init_hidden
@@ -182,42 +193,58 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
 
     off_policy = cfg.algo in ("iql", "qmix")
 
+    gamma = agent.cfg.gamma
+
     def batch_from(sampled):
+        # n-step aggregation: sampled carries per-link rewards (B, n, A),
+        # validity and chain length m; next_* are already the chain-end
+        # bootstrap values (rl/replay.sample_nstep).
+        n = cfg.n_step
+        disc = gamma ** jnp.arange(n, dtype=jnp.float32)  # (n,)
+        valid = sampled["nstep_valid"].astype(jnp.float32)  # (B, n)
+        gamma_eff = gamma ** sampled["nstep_m"].astype(jnp.float32)
         if cfg.algo == "iql":
+            rew_n = jnp.sum(
+                sampled["nstep_rewards"] * (disc * valid)[:, :, None], axis=1
+            )  # (B, A)
             b = {
                 "obs_feats": sampled["obs_feats"],
                 "next_feats": sampled["next_feats"],
                 "actions": sampled["actions"],
-                "rewards": sampled["rewards"],
+                "rewards": rew_n,
                 "dones": sampled["done"],
+                "gamma_eff": gamma_eff,
             }
             if is_gru:
                 b["extras"] = sampled["extras"]
                 b["next_extras"] = sampled["next_extras"]
             return b
-        team = (
-            sampled["rewards"].mean(-1)
+        team_k = (
+            sampled["nstep_rewards"].mean(-1)
             if cfg.team_reward == "mean"
-            else sampled["rewards"].sum(-1)
-        )
+            else sampled["nstep_rewards"].sum(-1)
+        )  # (B, n)
+        reward_n = jnp.sum(team_k * disc * valid, axis=1)
         return {
             "obs_feats": sampled["obs_feats"],
             "next_feats": sampled["next_feats"],
             "actions": sampled["actions"],
-            "reward": team,
+            "reward": reward_n,
             "global_state": sampled["global_state"],
             "next_global_state": sampled["next_global_state"],
             "done": sampled["done"],
+            "gamma_eff": gamma_eff,
         }
 
     B = cfg.num_envs
 
     @jax.jit
-    def run_episode(es, astate, buf, key):
+    def run_episode(es, astate, buf, key, t0, ep_idx):
         """Whole (batched) episode on device: B envs step in lockstep and
-        feed one shared replay buffer; one gradient step per env step."""
+        feed one shared replay buffer; a gradient step every
+        cfg.learn_every env steps."""
 
-        def per_env(es, ka, astate, hidden):
+        def per_env(es, ka, astate, hidden, t_global):
             obs = observations.observe(params, es)
             feats = _feats(params, obs)
             g = hetero_graph_from_obs(params, obs)
@@ -241,23 +268,30 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 "next_global_state": _global_state(feats2, gs_scale),
                 "done": done,
             }
+            item["_t"] = t_global
+            item["_ep"] = ep_idx
             if is_gru:
                 item["extras"] = hidden
                 item["next_extras"] = new_hidden
             return es2, new_hidden, item, rew, info
 
-        def body(carry, _):
+        def body(carry, t):
             es, astate, buf, key, hidden = carry
             key, ks = jax.random.split(key)
             kas = jax.random.split(key, B + 1)
             key, kas = kas[0], kas[1:]
             es2, hidden, items, rew, info = jax.vmap(
-                per_env, in_axes=(0, 0, None, 0)
-            )(es, kas, astate, hidden)
+                per_env, in_axes=(0, 0, None, 0, None)
+            )(es, kas, astate, hidden, t0 + t)
             buf = replay.add_batch(buf, items)
             if off_policy:
-                ready = buf.size >= cfg.batch_size
-                sampled = replay.sample(buf, ks, cfg.batch_size)
+                # Warm start: chains need n_step * B slots of history.
+                ready = (buf.size >= cfg.batch_size + cfg.n_step * B) & (
+                    (t % cfg.learn_every) == 0
+                )
+                sampled = replay.sample_nstep(
+                    buf, ks, cfg.batch_size, cfg.n_step, stride=B
+                )
                 new_astate, aux = agent.learn(astate, batch_from(sampled))
                 astate = jax.tree.map(
                     lambda n, o: jnp.where(ready, n, o), new_astate, astate
@@ -277,7 +311,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             else jnp.zeros(B)
         )
         (es, astate, buf, key, _), outs = jax.lax.scan(
-            body, (es, astate, buf, key, hidden0), None, length=steps
+            body, (es, astate, buf, key, hidden0),
+            jnp.arange(steps, dtype=jnp.int32),
         )
         return es, astate, buf, key, outs
 
@@ -296,7 +331,10 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             params, jax.random.split(kr, B)
         )
         t0 = time.time()
-        es, astate, buf, key, outs = run_episode(es, astate, buf, key)
+        es, astate, buf, key, outs = run_episode(
+            es, astate, buf, key, jnp.int32(ep * steps),
+            jnp.int32(ep),
+        )
         rew_sum, deliv, clash, stuck, loss = jax.tree.map(np.asarray, outs)
         rew_sum, deliv, clash, stuck = (
             rew_sum / B, deliv / B, clash / B, stuck / B,

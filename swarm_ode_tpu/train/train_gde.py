@@ -44,6 +44,18 @@ class GDETrainConfig:
     # jitted step (fast path; requires equal-length episodes). Falls back to
     # host-side gathering otherwise.
     device_data: bool = True
+    # Rotate at most this many episodes through device memory at a time
+    # (0 = all resident). Reference-scale medium (1000 episodes x 500 steps
+    # x 28 agents x ~500 obs dims) is ~29 GB f32 — beyond one chip's HBM;
+    # shard rotation keeps the fast on-device window extraction while
+    # streaming one episode shard per inner pass. Shuffling is then
+    # shard-local (shard order + within-shard order both reshuffled per
+    # epoch) — a standard big-dataset compromise.
+    device_shard_episodes: int = 0
+    # Device storage dtype for the resident episode tensor. Observations
+    # are small integers and 0/1 flags — exactly representable in bfloat16,
+    # so 'bfloat16' halves resident bytes with bit-identical values.
+    device_dtype: str = "float32"
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
 
@@ -86,7 +98,9 @@ def _extract_windows(episodes_dev, positions_dev, seq_len, e_idx, t_idx):
         obs_w = jax.lax.dynamic_slice_in_dim(ep, start, W, axis=0)
         slot_t = start + jnp.arange(W)
         valid = slot_t <= t
-        obs_w = jnp.where(valid[:, None, None], obs_w, 0.0)
+        # Cast up from the (possibly bfloat16) resident dtype: obs values
+        # are bf16-exact, and downstream graph building wants f32.
+        obs_w = jnp.where(valid[:, None, None], obs_w, 0.0).astype(jnp.float32)
         count = jnp.minimum(t + 1, W).astype(jnp.int32)
         next_pos = positions_dev[e, t + 1]
         return obs_w, count, next_pos
@@ -134,19 +148,45 @@ def train_gde(
 
     # Device-resident dataset fast path: windows are cut on device from the
     # stacked episode tensor, so the host only ships (B, 2) index pairs.
+    # When the dataset exceeds device_shard_episodes, the stacked tensor is
+    # rotated through HBM one episode shard at a time.
     ep_lens = {ep.shape[0] for ep in dataset.episodes}
     use_dev = config.device_data and len(ep_lens) == 1
     data = {}
+    episodes_np = positions_np = index_np = None
+    dev_dtype = jnp.bfloat16 if config.device_dtype == "bfloat16" else jnp.float32
+    E = len(dataset.episodes)
+    shard_eps = (
+        min(config.device_shard_episodes or E, E) if use_dev else E
+    )
+    sharded = use_dev and shard_eps < E
     if use_dev:
-        data = {
+        episodes_np = np.stack(dataset.episodes)
+        positions_np = np.stack(dataset._positions)
+        index_np = np.asarray(dataset._index, np.int32)  # (M, 2)
+        if not sharded:
+            data = {
+                "episodes": meshlib.replicate(
+                    mesh, jnp.asarray(episodes_np, dev_dtype)
+                ),
+                "positions": meshlib.replicate(
+                    mesh, jnp.asarray(positions_np)
+                ),
+            }
+
+    def put_shard(ep_ids):
+        """Device-put one episode shard; returns (data dict, remap) where
+        remap maps global episode id -> shard slot."""
+        remap = np.full(E, -1, np.int64)
+        remap[ep_ids] = np.arange(len(ep_ids))
+        return {
             "episodes": meshlib.replicate(
-                mesh, jnp.asarray(np.stack(dataset.episodes))
+                mesh, jnp.asarray(episodes_np[ep_ids], dev_dtype)
             ),
             "positions": meshlib.replicate(
-                mesh, jnp.asarray(np.stack(dataset._positions))
+                mesh, jnp.asarray(positions_np[ep_ids])
             ),
-        }
-        index_np = np.asarray(dataset._index, np.int32)  # (M, 2)
+        }, remap
 
     seq_len = dataset.seq_len
 
@@ -177,10 +217,15 @@ def train_gde(
         lambda p, b, data: loss_fn(p, batch_to_loss_input(b, data))
     )
 
-    def device_batch(idx):
+    def device_batch(idx, remap=None):
         if use_dev:
+            pairs = index_np[np.asarray(idx)]
+            if remap is not None:
+                pairs = np.stack(
+                    [remap[pairs[:, 0]], pairs[:, 1]], axis=1
+                ).astype(np.int32)
             b = {
-                "idx": index_np[np.asarray(idx)],
+                "idx": pairs,
                 "weight": np.ones(len(idx), np.float32),
             }
         else:
@@ -197,9 +242,32 @@ def train_gde(
         b["weight"] = b["weight"] * mask
         return meshlib.shard_batch(mesh, b)
 
-    train_idx, val_idx = train_val_split(
-        len(dataset), config.val_frac, config.seed
-    )
+    if sharded:
+        # Episode-level 80/20 split when rotating shards (no window leaks
+        # across the split, and each shard visit is self-contained); the
+        # reference's window-level split applies in the resident paths.
+        ep_rng = np.random.RandomState(config.seed)
+        ep_perm = ep_rng.permutation(E)
+        n_val_ep = max(1, int(E * config.val_frac))
+        val_eps = np.sort(ep_perm[:n_val_ep])
+        train_eps = np.sort(ep_perm[n_val_ep:])
+        win_ep = index_np[:, 0]
+        train_shards = [
+            train_eps[i : i + shard_eps]
+            for i in range(0, len(train_eps), shard_eps)
+        ]
+        val_shards = [
+            val_eps[i : i + shard_eps]
+            for i in range(0, len(val_eps), shard_eps)
+        ]
+        train_win = [
+            np.nonzero(np.isin(win_ep, s))[0] for s in train_shards
+        ]
+        val_win = [np.nonzero(np.isin(win_ep, s))[0] for s in val_shards]
+    else:
+        train_idx, val_idx = train_val_split(
+            len(dataset), config.val_frac, config.seed
+        )
     rng = np.random.RandomState(config.seed)
     history = {"train_loss": [], "val_loss": []}
     best_val = np.inf
@@ -231,20 +299,43 @@ def train_gde(
     B = config.batch_size
     for epoch in range(start_epoch, config.num_epochs):
         t0 = time.time()
-        perm = rng.permutation(train_idx)
         tot, nb = 0.0, 0
-        for i in range(0, len(perm) - B + 1, B):
-            batch = device_batch(perm[i : i + B])
-            params, opt_state, loss = train_step(params, opt_state, batch, data)
-            tot += float(loss)
-            nb += 1
+        if sharded:
+            for si in rng.permutation(len(train_shards)):
+                sdata, remap = put_shard(train_shards[si])
+                perm = rng.permutation(train_win[si])
+                for i in range(0, len(perm) - B + 1, B):
+                    batch = device_batch(perm[i : i + B], remap)
+                    params, opt_state, loss = train_step(
+                        params, opt_state, batch, sdata
+                    )
+                    tot += float(loss)
+                    nb += 1
+        else:
+            perm = rng.permutation(train_idx)
+            for i in range(0, len(perm) - B + 1, B):
+                batch = device_batch(perm[i : i + B])
+                params, opt_state, loss = train_step(
+                    params, opt_state, batch, data
+                )
+                tot += float(loss)
+                nb += 1
         train_loss = tot / max(nb, 1)
 
         vtot, vnb = 0.0, 0
-        for i in range(0, max(len(val_idx) - B + 1, 1), B):
-            batch = device_batch(val_idx[i : i + B])
-            vtot += float(eval_loss(params, batch, data))
-            vnb += 1
+        if sharded:
+            for si in range(len(val_shards)):
+                sdata, remap = put_shard(val_shards[si])
+                vw = val_win[si]
+                for i in range(0, max(len(vw) - B + 1, 1), B):
+                    batch = device_batch(vw[i : i + B], remap)
+                    vtot += float(eval_loss(params, batch, sdata))
+                    vnb += 1
+        else:
+            for i in range(0, max(len(val_idx) - B + 1, 1), B):
+                batch = device_batch(val_idx[i : i + B])
+                vtot += float(eval_loss(params, batch, data))
+                vnb += 1
         val_loss = vtot / max(vnb, 1)
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)

@@ -18,6 +18,13 @@ p.add_argument("--algo", default="qmix", choices=["iql", "qmix", "coma"])
 p.add_argument("--net", default="gnode", choices=["gnode", "gnn", "gru"])
 p.add_argument("--hidden_dim", type=int, default=128)
 p.add_argument("--checkpoint_dir", default=None)
+p.add_argument("--num_envs", type=int, default=1)
+p.add_argument("--n_step", type=int, default=3)
+p.add_argument("--learn_every", type=int, default=1)
+p.add_argument("--batch_size", type=int, default=32)
+p.add_argument("--no_value_transform", action="store_true",
+               help="disable R2D2 h-transform value rescaling (QMIX)")
+p.add_argument("--team_reward", default="mean", choices=["mean", "sum"])
 
 if __name__ == "__main__":
     args = p.parse_args()
@@ -27,6 +34,12 @@ if __name__ == "__main__":
         net=args.net,
         num_episodes=args.num_episodes,
         hidden_dim=args.hidden_dim,
+        num_envs=args.num_envs,
+        n_step=args.n_step,
+        learn_every=args.learn_every,
+        batch_size=args.batch_size,
+        value_transform=not args.no_value_transform,
+        team_reward=args.team_reward,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
     )

@@ -2,9 +2,13 @@
 
 The reference compute path is torch + torchdiffeq + PyG
 (train_gde.py:20-106). Neither torchdiffeq nor torch_geometric is in this
-image, so parity is checked against a hand-written torch implementation of
-the identical operations: SAGE(mean) message passing and fixed-step
-odeint. Target: trajectories match to 1e-5 (BASELINE.json north star).
+image, so what these tests actually pin down is parity against a
+HAND-WRITTEN torch implementation of the same math (SAGE(mean) message
+passing per the PyG SAGEConv docs; fixed-step euler/RK4 per torchdiffeq's
+documented Butcher tableaus) — NOT against torchdiffeq/PyG binaries.
+The 1e-5 tolerance claim (BASELINE.json north star) is therefore
+parity-with-reimplementation; closing it against real torchdiffeq outputs
+requires recording fixtures in an environment that has it.
 """
 import numpy as np
 import pytest

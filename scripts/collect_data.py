@@ -36,10 +36,18 @@ if __name__ == "__main__":
     args = p.parse_args()
     for env_id in args.env_ids:
         for seed in args.seeds:
-            print(f"Starting data collection for {env_id} with seed {seed}")
             out = str(
                 Path(args.out_dir) / f"warehouse_data_{env_id}_seed{seed}.h5"
             )
+            if Path(out).exists():
+                import h5py
+
+                with h5py.File(out, "r") as f:
+                    n = sum(1 for k in f.keys() if k.startswith("episode_"))
+                if n >= args.num_episodes:
+                    print(f"Skipping {out} (complete: {n} episodes)")
+                    continue
+            print(f"Starting data collection for {env_id} with seed {seed}")
             collect_data(
                 env_id,
                 num_episodes=args.num_episodes,

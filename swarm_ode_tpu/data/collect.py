@@ -24,22 +24,35 @@ from swarm_ode_tpu.utils.metrics import pick_rate
 
 
 def _capture(params, state, actions):
-    """Pre-step snapshot matching log_step_pre (collect_data.py:46-127)."""
+    """Pre-step snapshot matching log_step_pre (collect_data.py:46-127).
+
+    Dtypes are the smallest exact containers (the device->host tunnel is
+    the datagen bottleneck): observations are small integers and 0/1 flags
+    — exact in float16 when coordinates are unnormalised; ids fit int16;
+    bitmaps fit uint8. Readers upcast (TrajectoryDataset -> float32).
+    """
     agv_g, pick_g, shelf_g, carried_g = occupancy_grids(params, state)
+    obs = observations.observe(params, state)
+    if not params.normalised_coordinates:
+        obs = obs.astype(jnp.float16)
     return {
-        "actions": actions,
-        "agent_positions": state.agent_xy,
-        "agent_directions": state.agent_dir,
+        "actions": actions.astype(jnp.int16),
+        "agent_positions": state.agent_xy.astype(jnp.int16),
+        "agent_directions": state.agent_dir.astype(jnp.int8),
         "agent_busy": state.agent_busy,
         "agent_carrying_shelf": state.agent_carrying > 0,
-        "agent_targets": state.agent_target,
+        "agent_targets": state.agent_target.astype(jnp.int16),
         "grid_collision_layers": jnp.stack(
             [agv_g, pick_g, shelf_g, carried_g]
-        ),
-        "request_queue_ids": state.request_queue,
-        "shelf_request_info": observations.shelf_request_info(params, state),
-        "empty_shelf_info": observations.empty_shelf_info(params, state),
-        "observations": observations.observe(params, state),
+        ).astype(jnp.int16),
+        "request_queue_ids": state.request_queue.astype(jnp.int16),
+        "shelf_request_info": observations.shelf_request_info(
+            params, state
+        ).astype(jnp.uint8),
+        "empty_shelf_info": observations.empty_shelf_info(
+            params, state
+        ).astype(jnp.uint8),
+        "observations": obs,
     }
 
 

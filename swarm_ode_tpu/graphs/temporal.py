@@ -16,6 +16,7 @@ builder vmaps/scans cleanly.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -63,6 +64,48 @@ def push_frame(
     slot = jnp.minimum(w.count, W - 1)
     new_obs = shifted.at[slot].set(obs.astype(jnp.float32))
     return TemporalWindow(obs=new_obs, count=jnp.minimum(w.count + 1, W))
+
+
+@struct.dataclass
+class BatchedTemporalGraph:
+    """Structured (never-materialized) form of a batch of temporal graphs.
+
+    The dense (W*N, W*N) adjacency of `TemporalGraph` is block-structured:
+    per-frame spatial blocks on the diagonal plus an identity temporal chain
+    between consecutive frames. Keeping the parts separate lets SAGE
+    aggregation run as one (B*W, N, N) einsum plus a frame shift — ~N x
+    fewer FLOPs and no scatter-built adjacency, which is what makes the
+    batched GDE train step fast on TPU (see ops/sage.py
+    temporal_mean_aggregate)."""
+
+    x: jnp.ndarray  # (B, W, N, D) node features
+    spatial: jnp.ndarray  # (B, W, N, N) bool within-frame adjacency [src, dst]
+    frame_valid: jnp.ndarray  # (B, W) bool
+    count: jnp.ndarray  # (B,) int32 valid frames
+
+
+def build_temporal_batch(
+    obs: jnp.ndarray,
+    count: jnp.ndarray,
+    num_agvs: int,
+    distance_threshold: float = 5.0,
+) -> BatchedTemporalGraph:
+    """Batched equivalent of vmap(build_temporal_graph): same spatial edges
+    and frame validity, structured instead of dense (train_gde.py:228-267
+    semantics). obs: (B, W, N, D); count: (B,) int32."""
+    B, W, N, D = obs.shape
+    frame_valid = jnp.arange(W)[None, :] < count[:, None]  # (B, W)
+
+    flat = obs.reshape(B * W, N, D)
+    pos = jax.vmap(extract_positions, in_axes=(0, None))(flat, num_agvs)
+    pos = pos.reshape(B, W, N, 2)
+    d2 = jnp.sum((pos[:, :, :, None, :] - pos[:, :, None, :, :]) ** 2, -1)
+    spatial = (d2 < distance_threshold**2) & ~jnp.eye(N, dtype=bool)
+    spatial = spatial & frame_valid[:, :, None, None]
+    return BatchedTemporalGraph(
+        x=obs, spatial=spatial, frame_valid=frame_valid,
+        count=count.astype(jnp.int32),
+    )
 
 
 def build_temporal_graph(

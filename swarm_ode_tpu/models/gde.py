@@ -13,9 +13,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from swarm_ode_tpu.graphs.temporal import TemporalGraph
+from swarm_ode_tpu.graphs.temporal import BatchedTemporalGraph, TemporalGraph
 from swarm_ode_tpu.ops.odeint import odeint
-from swarm_ode_tpu.ops.sage import HomoSAGE
+from swarm_ode_tpu.ops.sage import HomoSAGE, temporal_mean_aggregate
 
 
 class GraphODEFunc(nn.Module):
@@ -86,6 +86,51 @@ class GraphODE:
             atol=self.atol,
         )  # (T, nodes, node_dim)
         traj = self.decoder.apply(params["decoder"], sol)  # (T, nodes, 2)
+        return {"trajectories": traj, "node_features": sol}
+
+    def apply_batched(
+        self,
+        params: Dict,
+        graph: BatchedTemporalGraph,
+        time_span: jnp.ndarray,
+        method: Optional[str] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Whole-batch fast path: same math as vmap(apply) over the dense
+        per-graph adjacency, but SAGE aggregation runs on the structured
+        (spatial blocks + temporal shift) form — no (W*N)^2 adjacency is
+        built, so the train step is one fused stack of large matmuls
+        instead of B small scatter-assembled graphs. Parameters are shared
+        with the per-graph path (tests/test_gde_batched.py asserts
+        equality)."""
+        P = params["func"]["params"]
+
+        def sage(name, agg, h):
+            p = P[name]["DenseSAGEConv_0"]
+            out = agg @ p["lin_l"]["kernel"] + p["lin_l"]["bias"]
+            return out + h @ p["lin_r"]["kernel"]
+
+        def f(t, y):
+            h = y
+            for name, act in (("conv1", True), ("conv2", True),
+                              ("conv3", False)):
+                agg = temporal_mean_aggregate(
+                    h, graph.spatial, graph.frame_valid
+                )
+                h = sage(name, agg, h)
+                if act:
+                    h = jax.nn.relu(h)
+            return h
+
+        sol = odeint(
+            f,
+            graph.x,
+            time_span,
+            method=method or self.ode_solver,
+            rtol=self.rtol,
+            atol=self.atol,
+        )  # (T, B, W, N, node_dim)
+        dp = params["decoder"]["params"]["position_decoder"]
+        traj = sol @ dp["kernel"] + dp["bias"]  # (T, B, W, N, 2)
         return {"trajectories": traj, "node_features": sol}
 
     def predict_trajectory(self, params, graph, num_steps: int):

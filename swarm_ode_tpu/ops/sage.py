@@ -28,6 +28,55 @@ def masked_mean_aggregate(
     return agg / jnp.maximum(deg, 1.0)[:, None]
 
 
+def temporal_mean_aggregate(
+    x: jnp.ndarray,
+    spatial: jnp.ndarray,
+    frame_valid: jnp.ndarray,
+    precision=None,
+) -> jnp.ndarray:
+    """In-neighbor mean over a batch of temporal graphs in structured form.
+
+    Exactly `masked_mean_aggregate` on the dense (W*N, W*N) adjacency that
+    `build_temporal_graph` would assemble (per-frame spatial blocks + the
+    frame k -> k+1 identity chain), but computed without materializing it:
+    the spatial part is one (B*W, N, N) batched matmul and the temporal part
+    is a frame shift. x: (B, W, N, D); spatial: (B, W, N, N) [src, dst];
+    frame_valid: (B, W). Returns (B, W, N, D).
+
+    Source-validity masking is implied: spatial blocks already carry the
+    frame_valid factor, and a temporal edge into frame k (requires
+    frame_valid[k]) always has a valid source frame k-1 (validity is a
+    prefix).
+    """
+    a = spatial.astype(x.dtype)
+    deg_sp = a.sum(axis=2)  # (B, W, N) in-degree from spatial edges
+    agg = jnp.einsum("bwij,bwid->bwjd", a, x, precision=precision)
+    # Temporal chain: node (k, j) receives x[k-1, j] when frame k is valid.
+    has_prev = frame_valid & (jnp.arange(x.shape[1]) > 0)[None, :]  # (B, W)
+    prev = jnp.roll(x, 1, axis=1)
+    agg = agg + jnp.where(has_prev[..., None, None], prev, 0.0)
+    deg = deg_sp + has_prev[..., None].astype(x.dtype)
+    return agg / jnp.maximum(deg, 1.0)[..., None]
+
+
+class TemporalSAGE(nn.Module):
+    """SAGEConv(mean) over a `BatchedTemporalGraph`'s structured adjacency.
+
+    Parameter tree is identical to `HomoSAGE` (lin_l with bias on the
+    aggregate, lin_r without on the root), so weights transfer between the
+    per-graph and batched paths bit-for-bit.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, spatial, frame_valid):
+        agg = temporal_mean_aggregate(x, spatial, frame_valid)
+        out = nn.Dense(self.features, use_bias=True, name="lin_l")(agg)
+        out = out + nn.Dense(self.features, use_bias=False, name="lin_r")(x)
+        return out
+
+
 class DenseSAGEConv(nn.Module):
     """SAGEConv(mean) over a dense boolean adjacency.
 

@@ -22,7 +22,11 @@ import numpy as np
 import optax
 
 from swarm_ode_tpu.data.dataset import TrajectoryDataset, train_val_split
-from swarm_ode_tpu.graphs.temporal import TemporalWindow, build_temporal_graph
+from swarm_ode_tpu.graphs.temporal import (
+    TemporalWindow,
+    build_temporal_batch,
+    build_temporal_graph,
+)
 from swarm_ode_tpu.models.gde import GraphODE
 from swarm_ode_tpu.parallel import mesh as meshlib
 from swarm_ode_tpu.utils.logging import MetricsLogger
@@ -61,19 +65,21 @@ class GDETrainConfig:
 
 
 def _batch_loss(model: GraphODE, num_agvs, distance_threshold):
+    """Whole-batch loss on the structured batched path (same math as
+    vmap-of-per-graph; see models/gde.py::apply_batched)."""
     t_span = jnp.array([0.0, 1.0], jnp.float32)
 
     def loss_fn(params, batch):
-        def one(obs_w, count, next_pos):
-            w = TemporalWindow(obs=obs_w, count=count)
-            g = build_temporal_graph(w, num_agvs, distance_threshold)
-            out = model.apply(params, g, t_span)
-            W, N = obs_w.shape[0], obs_w.shape[1]
-            pred = out["trajectories"][1].reshape(W, N, 2)
-            cur = pred[jnp.maximum(count - 1, 0)]  # newest frame's agents
-            return jnp.mean((cur - next_pos) ** 2)
-
-        losses = jax.vmap(one)(batch["obs"], batch["count"], batch["next_pos"])
+        g = build_temporal_batch(
+            batch["obs"], batch["count"], num_agvs, distance_threshold
+        )
+        out = model.apply_batched(params, g, t_span)
+        pred = out["trajectories"][1]  # (B, W, N, 2)
+        cur_slot = jnp.maximum(batch["count"] - 1, 0)  # (B,)
+        cur = jnp.take_along_axis(
+            pred, cur_slot[:, None, None, None], axis=1
+        )[:, 0]  # (B, N, 2) — newest frame's agents
+        losses = jnp.mean((cur - batch["next_pos"]) ** 2, axis=(1, 2))
         weights = batch["weight"]
         return jnp.sum(losses * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 

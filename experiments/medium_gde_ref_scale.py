@@ -1,0 +1,111 @@
+"""Reference-scale GDE training: 5 seed files of medium-19-9, 200 epochs
+(reference scripts/train_gde.py:443-535 recipe).
+
+The full 1000-episode dataset stays device-resident in bfloat16 (~11.4 GB
+of the chip's 16 GB HBM; values are bf16-exact small integers), windows are
+cut on device, and the train step runs the structured batched path — zero
+host transfers inside the epoch loop.
+
+Usage: python experiments/medium_gde_ref_scale.py [--epochs N] [--probe]
+  --probe: measure ms/batch over 200 steps and exit (for step-time checks).
+"""
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from swarm_ode_tpu.data.dataset import TrajectoryDataset
+from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+from swarm_ode_tpu import analysis
+
+ENV = "tarware-medium-19agvs-9pickers-partialobs-v1"
+SEEDS = [0, 1000, 2000, 3000, 4000]
+DATA = pathlib.Path("/root/repo/datasets")
+OUT = pathlib.Path("/root/repo/runs/gde_medium_ref")
+
+p = argparse.ArgumentParser()
+p.add_argument("--epochs", type=int, default=200)
+p.add_argument("--batch_size", type=int, default=32)
+p.add_argument("--max_episodes", type=int, default=None)
+p.add_argument("--probe", action="store_true")
+args = p.parse_args()
+
+files = [str(DATA / f"warehouse_data_{ENV}_seed{s}.h5") for s in SEEDS]
+files = [f for f in files if pathlib.Path(f).exists()]
+print(f"{len(files)} dataset files", flush=True)
+ds = TrajectoryDataset.from_h5(files, seq_len=5, max_episodes=args.max_episodes)
+print(f"windows: {len(ds)} obs_dim: {ds.obs_dim} agents: "
+      f"{ds.num_agvs}+{ds.num_pickers}", flush=True)
+
+if args.probe:
+    # Step-time probe: tiny subset resident, time the jitted train step.
+    import jax
+    import jax.numpy as jnp
+    from swarm_ode_tpu.graphs.temporal import (
+        TemporalWindow, build_temporal_graph,
+    )
+    from swarm_ode_tpu.models.gde import GraphODE
+    from swarm_ode_tpu.train.train_gde import _batch_loss
+    import optax
+
+    model = GraphODE(node_dim=ds.obs_dim, num_agvs=ds.num_agvs,
+                     num_pickers=ds.num_pickers, hidden_dim=64)
+    sample = ds.batch(list(range(args.batch_size)))
+    w0 = TemporalWindow(obs=jnp.asarray(sample["obs"][0]),
+                        count=jnp.int32(sample["count"][0]))
+    g0 = build_temporal_graph(w0, ds.num_agvs, 5.0)
+    params = model.init(jax.random.PRNGKey(0), g0, jnp.array([0.0, 1.0]))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    opt_state = tx.init(params)
+    loss_fn = _batch_loss(model, ds.num_agvs, 5.0)
+    batch = {
+        "obs": jnp.asarray(sample["obs"]),
+        "count": jnp.asarray(sample["count"], jnp.int32),
+        "next_pos": jnp.asarray(sample["next_pos"]),
+        "weight": jnp.ones((args.batch_size,), jnp.float32),
+    }
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(200):
+        params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    ms = (time.time() - t0) / 200 * 1e3
+    print(f"train step: {ms:.2f} ms/batch (B={args.batch_size})")
+    sys.exit(0)
+
+OUT.mkdir(parents=True, exist_ok=True)
+cfg = GDETrainConfig(
+    num_epochs=args.epochs,
+    batch_size=args.batch_size,
+    device_dtype="bfloat16",
+    checkpoint_dir=str(OUT / "ckpt"),
+    checkpoint_every=10,
+)
+t0 = time.time()
+out = train_gde(ds, cfg)
+wall = time.time() - t0
+print(f"trained {args.epochs} epochs in {wall/60:.1f} min; "
+      f"best val {out['best_val_loss']:.6f}", flush=True)
+
+m = analysis.evaluate_gde(out["model"], out["params"], ds,
+                          indices=range(0, len(ds), max(1, len(ds) // 4000)))
+metrics = {k: round(float(v), 4) for k, v in m.items()}
+print(json.dumps(metrics, indent=1), flush=True)
+hist = {k: [float(x) for x in v] for k, v in out["history"].items()}
+(OUT / "result.json").write_text(json.dumps(
+    {"metrics": metrics, "history": hist, "wall_min": wall / 60,
+     "epochs": args.epochs, "windows": len(ds)}, indent=1))
+print("saved", OUT / "result.json")

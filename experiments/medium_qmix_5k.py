@@ -1,0 +1,59 @@
+"""5000-episode QMIX run on medium-19-9 — the round-2 MARL-at-scale
+demonstration (VERDICT item 5): n-step targets + R2D2 value rescaling +
+mean team reward, TD loss bounded, pick rate trending up.
+
+Per-stride stats stream to runs/qmix_medium_5k/qmix_medium_5k.jsonl as the
+run goes, so an interrupted run still leaves a usable learning curve.
+"""
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from swarm_ode_tpu.train.run_rl import RLRunConfig, run_marl
+from swarm_ode_tpu.utils.logging import MetricsLogger
+
+OUT = pathlib.Path("/root/repo/runs/qmix_medium_5k")
+OUT.mkdir(parents=True, exist_ok=True)
+
+p = argparse.ArgumentParser()
+p.add_argument("--num_episodes", type=int, default=5000)
+p.add_argument("--num_envs", type=int, default=8)
+p.add_argument("--learn_every", type=int, default=4,
+               help="lower update ratio than the reference's 1 (a round-2 "
+               "stabilizer; 500-step episodes still give 125 updates/ep)")
+args = p.parse_args()
+
+
+cfg = RLRunConfig(
+    env_id="tarware-medium-19agvs-9pickers-partialobs-v1",
+    algo="qmix",
+    net="gnode",
+    num_envs=args.num_envs,
+    num_episodes=args.num_episodes,
+    hidden_dim=64,
+    buffer_size=200_000,
+    batch_size=64,
+    learn_every=args.learn_every,
+    n_step=3,
+    value_transform=True,
+    team_reward="mean",
+    checkpoint_dir=str(OUT / "ckpt"),
+    checkpoint_every=500,
+)
+logger = MetricsLogger(project="swarm_ode_tpu", name="qmix_medium_5k",
+                       out_dir=str(OUT), use_wandb=False)
+t0 = time.time()
+out = run_marl(cfg, logger=logger, verbose=True)
+hist = out["history"]
+n = len(hist)
+q = max(1, n // 4)
+print(f"\n{args.num_episodes} episodes in {(time.time()-t0)/60:.1f} min")
+for name in ("loss", "pick_rate"):
+    vals = [h[name] for h in hist if name in h]
+    quarts = [sum(vals[i:i+q]) / len(vals[i:i+q])
+              for i in range(0, len(vals), q)]
+    print(f"{name} quartile means: " +
+          " ".join(f"{v:.3f}" for v in quarts))

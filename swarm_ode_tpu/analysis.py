@@ -212,31 +212,32 @@ def evaluate_gde(
     import jax
     import jax.numpy as jnp
 
-    from swarm_ode_tpu.graphs.temporal import (
-        TemporalWindow,
-        build_temporal_graph,
-    )
+    from swarm_ode_tpu.graphs.temporal import build_temporal_batch
 
     t_span = jnp.array([0.0, 1.0], jnp.float32)
 
     @jax.jit
     def predict(obs, count):
-        def one(obs_w, c):
-            g = build_temporal_graph(
-                TemporalWindow(obs=obs_w, count=c), dataset.num_agvs
-            )
-            W, N = obs_w.shape[0], obs_w.shape[1]
-            pred = model.apply(params, g, t_span)["trajectories"][1]
-            return pred.reshape(W, N, 2)[jnp.maximum(c - 1, 0)]
-
-        return jax.vmap(one)(obs, count)
+        g = build_temporal_batch(obs, count, dataset.num_agvs)
+        pred = model.apply_batched(params, g, t_span)["trajectories"][1]
+        cur = jnp.take_along_axis(
+            pred, jnp.maximum(count - 1, 0)[:, None, None, None], axis=1
+        )[:, 0]
+        return cur  # (B, N, 2) newest-frame agents
 
     indices = list(indices if indices is not None else range(len(dataset)))
     preds, targets = [], []
     for i in range(0, len(indices), batch_size):
-        b = dataset.batch(indices[i : i + batch_size])
-        preds.append(np.asarray(predict(b["obs"], b["count"])))
-        targets.append(b["next_pos"])
+        idx = indices[i : i + batch_size]
+        # Pad the tail batch to keep one compiled shape.
+        pad = batch_size - len(idx)
+        b = dataset.batch(idx + idx[-1:] * pad)
+        out = np.asarray(
+            predict(jnp.asarray(b["obs"]),
+                    jnp.asarray(b["count"], jnp.int32))
+        )
+        preds.append(out[: len(idx)])
+        targets.append(b["next_pos"][: len(idx)])
     pred = np.concatenate(preds)
     target = np.concatenate(targets)
     out = position_error_metrics(pred, target)

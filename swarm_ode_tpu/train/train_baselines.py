@@ -52,6 +52,12 @@ class BaselineTrainConfig:
     hidden_dim: int = 128
     seed: int = 0
     val_frac: float = 0.2
+    # Keep the stacked episode tensor in device memory and cut windows
+    # inside the jitted step (same fast path as train_gde; requires
+    # equal-length episodes). 'bfloat16' halves resident bytes — obs values
+    # are small integers/flags, bf16-exact.
+    device_data: bool = True
+    device_dtype: str = "float32"
 
 
 def train_baseline(
@@ -83,23 +89,67 @@ def train_baseline(
         w = batch["weight"]
         return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
+    # Device-resident fast path (same as train_gde): ship (B, 2) index
+    # pairs, cut windows on device.
+    from swarm_ode_tpu.train.train_gde import _extract_windows
+
+    ep_lens = {ep.shape[0] for ep in dataset.episodes}
+    use_dev = config.device_data and len(ep_lens) == 1
+    dev_dtype = (
+        jnp.bfloat16 if config.device_dtype == "bfloat16" else jnp.float32
+    )
+    data = {}
+    index_np = None
+    if use_dev:
+        index_np = np.asarray(dataset._index, np.int32)
+        data = {
+            "episodes": meshlib.replicate(
+                mesh, jnp.asarray(np.stack(dataset.episodes), dev_dtype)
+            ),
+            "positions": meshlib.replicate(
+                mesh, jnp.asarray(np.stack(dataset._positions))
+            ),
+        }
+
+    def batch_to_loss_input(batch, data):
+        if not use_dev:
+            return batch
+        obs, count, nxt, pos = _extract_windows(
+            data["episodes"], data["positions"], dataset.seq_len,
+            batch["idx"][:, 0], batch["idx"][:, 1], with_pos=True,
+        )
+        return {
+            "obs": obs, "pos": pos, "next_pos": nxt,
+            "weight": batch["weight"],
+        }
+
     @jax.jit
-    def train_step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    def train_step(params, opt_state, batch, data):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch_to_loss_input(batch, data))
+        )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    eval_loss = jax.jit(loss_fn)
+    eval_loss = jax.jit(
+        lambda p, b, data: loss_fn(p, batch_to_loss_input(b, data))
+    )
 
     def device_batch(idx):
-        b = dataset.batch(idx)
-        b = {
-            "obs": b["obs"],
-            "pos": b["pos"],
-            "next_pos": b["next_pos"],
-            "weight": np.ones(len(idx), np.float32),
-        }
+        if use_dev:
+            b = {
+                "idx": index_np[np.asarray(idx)],
+                "weight": np.ones(len(idx), np.float32),
+            }
+        else:
+            raw = dataset.batch(idx)
+            b = {
+                "obs": raw["obs"],
+                "pos": raw["pos"],
+                "next_pos": raw["next_pos"],
+                "weight": np.ones(len(idx), np.float32),
+            }
         b, mask = meshlib.pad_to_multiple(jax.tree.map(jnp.asarray, b), n_dev)
         b["weight"] = b["weight"] * mask
         return meshlib.shard_batch(mesh, b)
@@ -116,12 +166,14 @@ def train_baseline(
         tot, nb = 0.0, 0
         for i in range(0, len(perm) - B + 1, B):
             batch = device_batch(perm[i : i + B])
-            params, opt_state, loss = train_step(params, opt_state, batch)
+            params, opt_state, loss = train_step(params, opt_state, batch, data)
             tot += float(loss)
             nb += 1
         vtot, vnb = 0.0, 0
         for i in range(0, max(len(val_idx) - B + 1, 1), B):
-            vtot += float(eval_loss(params, device_batch(val_idx[i : i + B])))
+            vtot += float(
+                eval_loss(params, device_batch(val_idx[i : i + B]), data)
+            )
             vnb += 1
         train_loss, val_loss = tot / max(nb, 1), vtot / max(vnb, 1)
         history["train_loss"].append(train_loss)

@@ -86,10 +86,13 @@ def _batch_loss(model: GraphODE, num_agvs, distance_threshold):
     return loss_fn
 
 
-def _extract_windows(episodes_dev, positions_dev, seq_len, e_idx, t_idx):
+def _extract_windows(
+    episodes_dev, positions_dev, seq_len, e_idx, t_idx, with_pos=False
+):
     """On-device window extraction: (ep, t) index pairs -> the exact
     TrajectoryDataset.window semantics (zero-padded warmup, count, next
-    positions) via dynamic slices — no host copies in the training loop.
+    positions, and optionally the position window) via dynamic slices —
+    no host copies in the training loop.
 
     The dataset tensors are passed as arguments (NOT closed over) so they
     stay runtime inputs rather than being baked into the compiled program
@@ -109,6 +112,12 @@ def _extract_windows(episodes_dev, positions_dev, seq_len, e_idx, t_idx):
         obs_w = jnp.where(valid[:, None, None], obs_w, 0.0).astype(jnp.float32)
         count = jnp.minimum(t + 1, W).astype(jnp.int32)
         next_pos = positions_dev[e, t + 1]
+        if with_pos:
+            pos_w = jax.lax.dynamic_slice_in_dim(
+                positions_dev[e], start, W, axis=0
+            )
+            pos_w = jnp.where(valid[:, None, None], pos_w, 0.0)
+            return obs_w, count, next_pos, pos_w
         return obs_w, count, next_pos
 
     return jax.vmap(one)(e_idx, t_idx)

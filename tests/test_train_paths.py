@@ -1,0 +1,58 @@
+"""Device-resident training data paths equal the host-gather paths.
+
+train_gde and train_baselines both ship (B, 2) index pairs and cut windows
+on device (`train_gde._extract_windows`); these tests pin that the resident
+paths reproduce the host `dataset.batch` semantics exactly, including the
+zero-padded warmup and position windows.
+"""
+import numpy as np
+import pytest
+
+from swarm_ode_tpu.data.dataset import TrajectoryDataset
+from swarm_ode_tpu.train.train_baselines import (
+    BaselineTrainConfig,
+    train_baseline,
+)
+
+
+def _toy_dataset(E=3, T=12, N=4, D=9, num_agvs=2, seed=0):
+    rng = np.random.RandomState(seed)
+    eps = [rng.rand(T, N, D).astype(np.float32) * 8.0 for _ in range(E)]
+    return TrajectoryDataset(
+        episodes=eps, num_agvs=num_agvs, num_pickers=N - num_agvs, seq_len=4
+    )
+
+
+def test_extract_windows_matches_host_batch():
+    import jax.numpy as jnp
+
+    from swarm_ode_tpu.train.train_gde import _extract_windows
+
+    ds = _toy_dataset()
+    episodes = jnp.asarray(np.stack(ds.episodes))
+    positions = jnp.asarray(np.stack(ds._positions))
+    idx = list(range(0, len(ds), 3))
+    pairs = np.asarray(ds._index, np.int32)[idx]
+    obs, count, nxt, pos = _extract_windows(
+        episodes, positions, ds.seq_len,
+        jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1]), with_pos=True,
+    )
+    host = ds.batch(idx)
+    np.testing.assert_allclose(np.asarray(obs), host["obs"], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(count), host["count"])
+    np.testing.assert_allclose(np.asarray(nxt), host["next_pos"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pos), host["pos"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("model", ["gru", "pos_gru"])
+def test_baseline_device_path_equals_host(model):
+    ds = _toy_dataset()
+    losses = []
+    for dev in (True, False):
+        cfg = BaselineTrainConfig(
+            model=model, num_epochs=2, batch_size=8, hidden_dim=8,
+            device_data=dev,
+        )
+        out = train_baseline(ds, cfg, verbose=False)
+        losses.append(out["history"]["val_loss"])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)

@@ -1,0 +1,88 @@
+"""GDE-vs-baselines comparison on the medium-19-9 dataset (VERDICT item 10;
+reference train_baselines.py:338-531 implies exactly this table).
+
+Trains GRU / LSTM / PositionOnly-GRU / PositionOnly-LSTM on the same data
+as the reference-scale GDE run, evaluates all with the shared metric suite,
+and writes runs/baselines_medium/table.md. GDE numbers are read from
+runs/gde_medium_ref/result.json if present (run medium_gde_ref_scale.py
+first).
+"""
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from swarm_ode_tpu import analysis
+from swarm_ode_tpu.data.dataset import TrajectoryDataset
+from swarm_ode_tpu.train.train_baselines import (
+    BaselineTrainConfig,
+    train_baseline,
+)
+
+ENV = "tarware-medium-19agvs-9pickers-partialobs-v1"
+SEEDS = [0, 1000, 2000, 3000, 4000]
+DATA = pathlib.Path("/root/repo/datasets")
+OUT = pathlib.Path("/root/repo/runs/baselines_medium")
+GDE_RESULT = pathlib.Path("/root/repo/runs/gde_medium_ref/result.json")
+
+p = argparse.ArgumentParser()
+p.add_argument("--epochs", type=int, default=30,
+               help="baselines plateau far earlier than GDE's 200 (simple "
+               "recurrent regressors; curves land in the result json)")
+p.add_argument("--models", nargs="*",
+               default=["gru", "lstm", "pos_gru", "pos_lstm"])
+p.add_argument("--max_episodes", type=int, default=None)
+args = p.parse_args()
+
+files = [str(DATA / f"warehouse_data_{ENV}_seed{s}.h5") for s in SEEDS]
+files = [f for f in files if pathlib.Path(f).exists()]
+ds = TrajectoryDataset.from_h5(files, seq_len=5,
+                               max_episodes=args.max_episodes)
+print(f"windows: {len(ds)} from {len(files)} files", flush=True)
+OUT.mkdir(parents=True, exist_ok=True)
+
+eval_idx = range(0, len(ds), max(1, len(ds) // 4000))
+rows = {}
+for name in args.models:
+    cfg = BaselineTrainConfig(
+        model=name, num_epochs=args.epochs, hidden_dim=128,
+        device_dtype="bfloat16",
+    )
+    t0 = time.time()
+    out = train_baseline(ds, cfg, verbose=True)
+    m = analysis.evaluate_baseline(
+        out["model"], out["params"], ds,
+        position_only=name.startswith("pos_"), indices=eval_idx,
+    )
+    rows[name] = {
+        "best_val_mse": float(out["best_val_loss"]),
+        "epochs": args.epochs,
+        "wall_min": (time.time() - t0) / 60,
+        "history": {k: [float(x) for x in v]
+                    for k, v in out["history"].items()},
+        **{k: float(v) for k, v in m.items()},
+    }
+    (OUT / "results.json").write_text(json.dumps(rows, indent=1))
+    print(f"[{name}] done: val {rows[name]['best_val_mse']:.4f}", flush=True)
+
+if GDE_RESULT.exists():
+    g = json.loads(GDE_RESULT.read_text())
+    rows["gde"] = {"best_val_mse": min(g["history"]["val_loss"]),
+                   "epochs": g["epochs"], **g["metrics"]}
+
+COLS = ["best_val_mse", "mean_error",
+        "success_rate@0.5", "success_rate@1.0",
+        "success_rate@1.5", "success_rate@2.0"]
+lines = ["| model | " + " | ".join(COLS) + " |",
+         "|" + "---|" * (len(COLS) + 1)]
+for name, r in sorted(rows.items()):
+    lines.append(
+        "| " + name + " | "
+        + " | ".join(f"{r.get(c, float('nan')):.4f}" for c in COLS) + " |"
+    )
+table = "\n".join(lines)
+(OUT / "table.md").write_text(table + "\n")
+print(table)

@@ -200,6 +200,29 @@ def trajectory_statistics(positions: np.ndarray) -> Dict[str, float]:
     }
 
 
+def _evaluate_predictor(
+    predict, dataset, indices=None, batch_size: int = 64
+) -> Dict[str, float]:
+    """Shared evaluation driver: run `predict(host_batch) -> (B, N, 2)` over
+    the dataset in fixed-shape batches, then compute position errors,
+    success rates, and collision metrics (result_analysis.ipynb cell 3)."""
+    indices = list(indices if indices is not None else range(len(dataset)))
+    preds, targets = [], []
+    for i in range(0, len(indices), batch_size):
+        idx = indices[i : i + batch_size]
+        # Pad the tail batch to keep one compiled shape.
+        pad = batch_size - len(idx)
+        b = dataset.batch(idx + idx[-1:] * pad)
+        preds.append(np.asarray(predict(b))[: len(idx)])
+        targets.append(b["next_pos"][: len(idx)])
+    pred = np.concatenate(preds)
+    target = np.concatenate(targets)
+    out = position_error_metrics(pred, target)
+    out.update(success_rates(pred, target))
+    out.update(collision_prediction_metrics(pred[None], target[None]))
+    return out
+
+
 def evaluate_gde(
     model,
     params,
@@ -217,7 +240,7 @@ def evaluate_gde(
     t_span = jnp.array([0.0, 1.0], jnp.float32)
 
     @jax.jit
-    def predict(obs, count):
+    def predict_dev(obs, count):
         g = build_temporal_batch(obs, count, dataset.num_agvs)
         pred = model.apply_batched(params, g, t_span)["trajectories"][1]
         cur = jnp.take_along_axis(
@@ -225,24 +248,33 @@ def evaluate_gde(
         )[:, 0]
         return cur  # (B, N, 2) newest-frame agents
 
-    indices = list(indices if indices is not None else range(len(dataset)))
-    preds, targets = [], []
-    for i in range(0, len(indices), batch_size):
-        idx = indices[i : i + batch_size]
-        # Pad the tail batch to keep one compiled shape.
-        pad = batch_size - len(idx)
-        b = dataset.batch(idx + idx[-1:] * pad)
-        out = np.asarray(
-            predict(jnp.asarray(b["obs"]),
-                    jnp.asarray(b["count"], jnp.int32))
+    def predict(b):
+        import jax.numpy as jnp
+
+        return predict_dev(
+            jnp.asarray(b["obs"]), jnp.asarray(b["count"], jnp.int32)
         )
-        preds.append(out[: len(idx)])
-        targets.append(b["next_pos"][: len(idx)])
-    pred = np.concatenate(preds)
-    target = np.concatenate(targets)
-    out = position_error_metrics(pred, target)
-    out.update(success_rates(pred, target))
-    out.update(
-        collision_prediction_metrics(pred[None], target[None])
-    )
-    return out
+
+    return _evaluate_predictor(predict, dataset, indices, batch_size)
+
+
+def evaluate_baseline(
+    model,
+    params,
+    dataset,
+    position_only: bool = False,
+    indices: Optional[Sequence[int]] = None,
+    batch_size: int = 64,
+) -> Dict[str, float]:
+    """Same metric suite as evaluate_gde for the GRU/LSTM/PositionOnly
+    trajectory baselines (reference train_baselines.py:338-531), so the
+    model-comparison table is apples-to-apples."""
+    import jax
+    import jax.numpy as jnp
+
+    predict_dev = jax.jit(lambda x: model.apply(params, x))
+
+    def predict(b):
+        return predict_dev(jnp.asarray(b["pos" if position_only else "obs"]))
+
+    return _evaluate_predictor(predict, dataset, indices, batch_size)

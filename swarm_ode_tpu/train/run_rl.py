@@ -142,6 +142,12 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
     params = make_params(env_cfg, lay)
     action_size = params.num_actions
     steps = env_cfg.max_steps or 500
+    if steps % max(1, cfg.learn_every):
+        raise ValueError(
+            f"learn_every={cfg.learn_every} must divide the episode length "
+            f"({steps}): the episode runs as blocks of learn_every env "
+            "steps with one gradient step per block"
+        )
     key = jax.random.PRNGKey(cfg.seed)
 
     # Example graph for initialization.
@@ -275,20 +281,38 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 item["next_extras"] = new_hidden
             return es2, new_hidden, item, rew, info
 
-        def body(carry, t):
+        # Learning runs once per `learn_every` block. The block structure is
+        # load-bearing for throughput: a flat scan with `t % learn_every`
+        # masking would still COMPUTE the sample + gradient every step and
+        # discard it (lax.scan traces one body), paying the full learner
+        # cost regardless of cadence. Nesting the env steps in an inner
+        # scan makes learn_every a real compute saving.
+        L = max(1, cfg.learn_every)
+        n_blocks = steps // L
+
+        def block(carry, tb):
             es, astate, buf, key, hidden = carry
-            key, ks = jax.random.split(key)
-            kas = jax.random.split(key, B + 1)
-            key, kas = kas[0], kas[1:]
-            es2, hidden, items, rew, info = jax.vmap(
-                per_env, in_axes=(0, 0, None, 0, None)
-            )(es, kas, astate, hidden, t0 + t)
-            buf = replay.add_batch(buf, items)
+
+            def env_body(ecarry, t):
+                es, buf, key, hidden = ecarry
+                kas = jax.random.split(key, B + 1)
+                key, kas = kas[0], kas[1:]
+                es2, hidden, items, rew, info = jax.vmap(
+                    per_env, in_axes=(0, 0, None, 0, None)
+                )(es, kas, astate, hidden, t0 + t)
+                buf = replay.add_batch(buf, items)
+                out = (rew.sum(), info["shelf_deliveries"].sum(),
+                       info["clashes"].sum(), info["stucks"].sum())
+                return (es2, buf, key, hidden), out
+
+            ts = tb * L + jnp.arange(L, dtype=jnp.int32)
+            (es, buf, key, hidden), outs4 = jax.lax.scan(
+                env_body, (es, buf, key, hidden), ts
+            )
             if off_policy:
+                key, ks = jax.random.split(key)
                 # Warm start: chains need n_step * B slots of history.
-                ready = (buf.size >= cfg.batch_size + cfg.n_step * B) & (
-                    (t % cfg.learn_every) == 0
-                )
+                ready = buf.size >= cfg.batch_size + cfg.n_step * B
                 sampled = replay.sample_nstep(
                     buf, ks, cfg.batch_size, cfg.n_step, stride=B
                 )
@@ -298,10 +322,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 )
                 loss = jnp.where(ready, aux["loss"], 0.0)
             else:
-                loss = 0.0
-            out = (rew.sum(), info["shelf_deliveries"].sum(),
-                   info["clashes"].sum(), info["stucks"].sum(), loss)
-            return (es2, astate, buf, key, hidden), out
+                loss = jnp.float32(0.0)
+            return (es, astate, buf, key, hidden), (*outs4, loss)
 
         hidden0 = (
             jax.tree.map(
@@ -311,8 +333,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             else jnp.zeros(B)
         )
         (es, astate, buf, key, _), outs = jax.lax.scan(
-            body, (es, astate, buf, key, hidden0),
-            jnp.arange(steps, dtype=jnp.int32),
+            block, (es, astate, buf, key, hidden0),
+            jnp.arange(n_blocks, dtype=jnp.int32),
         )
         return es, astate, buf, key, outs
 

@@ -250,8 +250,9 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         feed one shared replay buffer; a gradient step every
         cfg.learn_every env steps."""
 
-        def per_env(es, ka, astate, hidden, t_global):
-            obs = observations.observe(params, es)
+        def per_env(es, obs, ka, astate, hidden, t_global):
+            # obs is carried from the previous step's observe(es2) — one
+            # observation build per env step, not two.
             feats = _feats(params, obs)
             g = hetero_graph_from_obs(params, obs)
             masks = observations.compute_valid_action_masks(params, es)
@@ -279,7 +280,7 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             if is_gru:
                 item["extras"] = hidden
                 item["next_extras"] = new_hidden
-            return es2, new_hidden, item, rew, info
+            return es2, obs2, new_hidden, item, rew, info
 
         # Learning runs once per `learn_every` block. The block structure is
         # load-bearing for throughput: a flat scan with `t % learn_every`
@@ -291,23 +292,23 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         n_blocks = steps // L
 
         def block(carry, tb):
-            es, astate, buf, key, hidden = carry
+            es, obs, astate, buf, key, hidden = carry
 
             def env_body(ecarry, t):
-                es, buf, key, hidden = ecarry
+                es, obs, buf, key, hidden = ecarry
                 kas = jax.random.split(key, B + 1)
                 key, kas = kas[0], kas[1:]
-                es2, hidden, items, rew, info = jax.vmap(
-                    per_env, in_axes=(0, 0, None, 0, None)
-                )(es, kas, astate, hidden, t0 + t)
+                es2, obs2, hidden, items, rew, info = jax.vmap(
+                    per_env, in_axes=(0, 0, 0, None, 0, None)
+                )(es, obs, kas, astate, hidden, t0 + t)
                 buf = replay.add_batch(buf, items)
                 out = (rew.sum(), info["shelf_deliveries"].sum(),
                        info["clashes"].sum(), info["stucks"].sum())
-                return (es2, buf, key, hidden), out
+                return (es2, obs2, buf, key, hidden), out
 
             ts = tb * L + jnp.arange(L, dtype=jnp.int32)
-            (es, buf, key, hidden), outs4 = jax.lax.scan(
-                env_body, (es, buf, key, hidden), ts
+            (es, obs, buf, key, hidden), outs4 = jax.lax.scan(
+                env_body, (es, obs, buf, key, hidden), ts
             )
             if off_policy:
                 key, ks = jax.random.split(key)
@@ -323,7 +324,7 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 loss = jnp.where(ready, aux["loss"], 0.0)
             else:
                 loss = jnp.float32(0.0)
-            return (es, astate, buf, key, hidden), (*outs4, loss)
+            return (es, obs, astate, buf, key, hidden), (*outs4, loss)
 
         hidden0 = (
             jax.tree.map(
@@ -332,8 +333,9 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             if is_gru
             else jnp.zeros(B)
         )
-        (es, astate, buf, key, _), outs = jax.lax.scan(
-            block, (es, astate, buf, key, hidden0),
+        obs0 = jax.vmap(lambda e: observations.observe(params, e))(es)
+        (es, _, astate, buf, key, _), outs = jax.lax.scan(
+            block, (es, obs0, astate, buf, key, hidden0),
             jnp.arange(n_blocks, dtype=jnp.int32),
         )
         return es, astate, buf, key, outs

@@ -25,6 +25,16 @@ p.add_argument("--batch_size", type=int, default=32)
 p.add_argument("--no_value_transform", action="store_true",
                help="disable R2D2 h-transform value rescaling (QMIX)")
 p.add_argument("--team_reward", default="mean", choices=["mean", "sum"])
+p.add_argument("--gamma", type=float, default=None,
+               help="discount override (default: per-algo reference value)")
+p.add_argument("--td_clip", type=float, default=0.0,
+               help="raw-space clamp on QMIX bootstrap targets (0 = off)")
+p.add_argument("--huber_delta", type=float, default=0.0,
+               help="Huber delta for the QMIX TD loss (0 = MSE)")
+p.add_argument("--target_tau", type=float, default=0.0,
+               help="Polyak target update rate (0 = hard sync)")
+p.add_argument("--epsilon_decay", type=float, default=None,
+               help="per-update epsilon decay override")
 
 if __name__ == "__main__":
     args = p.parse_args()
@@ -40,6 +50,11 @@ if __name__ == "__main__":
         batch_size=args.batch_size,
         value_transform=not args.no_value_transform,
         team_reward=args.team_reward,
+        gamma=args.gamma,
+        td_clip=args.td_clip,
+        huber_delta=args.huber_delta,
+        target_tau=args.target_tau,
+        epsilon_decay=args.epsilon_decay,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
     )

@@ -46,6 +46,14 @@ class QMIXConfig:
     # h(R + gamma_eff * h^-1(Q_next)). Bounds TD magnitudes under
     # gamma=0.999 long horizons — the round-1 medium-scale drift fix.
     value_transform: bool = False
+    # Raw-space clamp on the bootstrap value and TD target (0 = off). The
+    # achievable return is bounded by r_max/(1-gamma); any larger target is
+    # pure overestimation spiral (the round-1/2 5k-run loss blow-up), so
+    # clamping at a loose multiple of that bound cannot clip real signal.
+    td_clip: float = 0.0
+    # Huber loss on the TD error (0 = plain MSE). Caps the per-sample
+    # gradient scale so one outlier target can't swing the whole batch.
+    huber_delta: float = 0.0
 
 
 _H_EPS = 1e-2
@@ -173,14 +181,22 @@ class QMIXAgent:
             # 'gamma_eff' = gamma^m (defaults to 1-step).
             gamma_eff = batch.get("gamma_eff", cfg.gamma)
             not_done = 1.0 - batch["done"].astype(jnp.float32)
-            if cfg.value_transform:
-                boot = h_inverse(next_tot)
-                target = h_transform(
-                    batch["reward"] + gamma_eff * boot * not_done
+            boot = h_inverse(next_tot) if cfg.value_transform else next_tot
+            if cfg.td_clip > 0:
+                boot = jnp.clip(boot, -cfg.td_clip, cfg.td_clip)
+            raw_target = batch["reward"] + gamma_eff * boot * not_done
+            if cfg.td_clip > 0:
+                raw_target = jnp.clip(raw_target, -cfg.td_clip, cfg.td_clip)
+            target = (
+                h_transform(raw_target) if cfg.value_transform else raw_target
+            )
+            target = jax.lax.stop_gradient(target)
+            if cfg.huber_delta > 0:
+                return jnp.mean(
+                    optax.losses.huber_loss(q_tot, target,
+                                            delta=cfg.huber_delta)
                 )
-            else:
-                target = batch["reward"] + gamma_eff * next_tot * not_done
-            return jnp.mean((q_tot - jax.lax.stop_gradient(target)) ** 2)
+            return jnp.mean((q_tot - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)

@@ -62,6 +62,15 @@ class RLRunConfig:
     # bounds TD magnitudes at gamma=0.999 over 500-step horizons — the
     # round-1 medium-scale drift fix.
     value_transform: bool = True
+    # QMIX stabilizers (rl/qmix.py QMIXConfig for the semantics). The
+    # reference ran gamma=0.999 with hard target sync and no clamping
+    # (run_gnode.py:1328) and its loop never trained successfully; the
+    # defaults here reproduce that recipe, the knobs make it converge.
+    gamma: Optional[float] = None  # None = per-algo default
+    td_clip: float = 0.0
+    huber_delta: float = 0.0
+    target_tau: float = 0.0
+    epsilon_decay: Optional[float] = None  # None = per-algo default
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
@@ -166,11 +175,23 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         # The reference pairs the GRU net with IQL only (gru.py:1035-1275).
         raise ValueError("net='gru' currently supports algo='iql'")
     if cfg.algo == "iql":
-        agent = IQLAgent(net, params, DQNConfig(batch_size=cfg.batch_size))
+        dqn_cfg = DQNConfig(batch_size=cfg.batch_size)
+        if cfg.gamma is not None:
+            dqn_cfg.gamma = cfg.gamma
+        if cfg.epsilon_decay is not None:
+            dqn_cfg.epsilon_decay = cfg.epsilon_decay
+        agent = IQLAgent(net, params, dqn_cfg)
     elif cfg.algo == "qmix":
-        agent = QMIXAgent(net, params, gs_dim,
-                          QMIXConfig(batch_size=cfg.batch_size,
-                                     value_transform=cfg.value_transform))
+        qmix_cfg = QMIXConfig(batch_size=cfg.batch_size,
+                              value_transform=cfg.value_transform,
+                              td_clip=cfg.td_clip,
+                              huber_delta=cfg.huber_delta,
+                              target_tau=cfg.target_tau)
+        if cfg.gamma is not None:
+            qmix_cfg.gamma = cfg.gamma
+        if cfg.epsilon_decay is not None:
+            qmix_cfg.epsilon_decay = cfg.epsilon_decay
+        agent = QMIXAgent(net, params, gs_dim, qmix_cfg)
     elif cfg.algo == "coma":
         encoder = HeteroGNNEncoder(cfg.hidden_dim, 2, coord_scale=gs_scale)
         agent = COMAAgent(encoder, params, action_size, gs_dim,

@@ -32,6 +32,44 @@ def test_qmix_block_loop_learns_and_reports():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+def test_qmix_stabilizers_loop():
+    """td_clip + Huber + Polyak targets + gamma override run end-to-end and
+    keep the loss finite (the medium-scale divergence fix knobs)."""
+    cfg = RLRunConfig(
+        env_id=TINY, algo="qmix", net="gnn", num_envs=2, num_episodes=2,
+        hidden_dim=8, buffer_size=3000, batch_size=8, learn_every=10,
+        n_step=2, seed=0, gamma=0.99, td_clip=50.0, huber_delta=1.0,
+        target_tau=5e-3, epsilon_decay=0.9999,
+    )
+    out = run_marl(cfg, verbose=False)
+    stats = out["history"][0]
+    assert np.isfinite(stats["loss"]) and stats["loss"] != 0.0
+    # Polyak targets: target params moved off init but differ from online.
+    ast = out["agent_state"]
+    on = jax.tree.leaves(ast.params)
+    tg = jax.tree.leaves(ast.target_params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(on, tg))
+
+
+def test_h_transform_roundtrip_and_clip_bounds():
+    import jax.numpy as jnp
+    from swarm_ode_tpu.rl.qmix import h_inverse, h_transform
+
+    x = jnp.array([-1e4, -37.2, -1.0, 0.0, 0.5, 12.0, 4096.0])
+    np.testing.assert_allclose(
+        np.asarray(h_inverse(h_transform(x))), np.asarray(x),
+        rtol=1e-4, atol=1e-4,
+    )
+    # A diverged bootstrap clamps to the raw-space bound: the transformed
+    # target magnitude can never exceed h(clip + r_max).
+    clip = 50.0
+    boot = jnp.float32(1e9)
+    target = h_transform(jnp.clip(1.0 + 0.99 * jnp.clip(boot, -clip, clip),
+                                  -clip, clip))
+    assert float(jnp.abs(target)) <= float(h_transform(jnp.float32(clip)))
+
+
 def test_learn_every_must_divide_episode():
     cfg = RLRunConfig(env_id=TINY, learn_every=3)  # 500 % 3 != 0
     with pytest.raises(ValueError, match="learn_every"):

@@ -1,0 +1,52 @@
+"""COMA learning curve on medium-19-9 with the counterfactual advantage
+(VERDICT item 5, second half): the reference wires COMA (gru.py:182-511)
+but its loop never produced a curve; this commits one.
+
+Per-stride stats stream to runs/coma_medium/coma_medium.jsonl.
+"""
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from swarm_ode_tpu.train.run_rl import RLRunConfig, run_marl
+from swarm_ode_tpu.utils.logging import MetricsLogger
+
+OUT = pathlib.Path("/root/repo/runs/coma_medium")
+OUT.mkdir(parents=True, exist_ok=True)
+
+p = argparse.ArgumentParser()
+p.add_argument("--num_episodes", type=int, default=2000)
+p.add_argument("--num_envs", type=int, default=8)
+args = p.parse_args()
+
+cfg = RLRunConfig(
+    env_id="tarware-medium-19agvs-9pickers-partialobs-v1",
+    algo="coma",
+    net="gnode",
+    num_envs=args.num_envs,
+    num_episodes=args.num_episodes,
+    hidden_dim=64,
+    buffer_size=50_000,
+    batch_size=64,
+    learn_every=4,
+    team_reward="mean",
+    checkpoint_dir=str(OUT / "ckpt"),
+    checkpoint_every=500,
+)
+logger = MetricsLogger(project="swarm_ode_tpu", name="coma_medium",
+                       out_dir=str(OUT), use_wandb=False)
+t0 = time.time()
+out = run_marl(cfg, logger=logger, verbose=True)
+hist = out["history"]
+n = len(hist)
+q = max(1, n // 4)
+print(f"\n{args.num_episodes} episodes in {(time.time()-t0)/60:.1f} min")
+for name in ("pick_rate", "return"):
+    vals = [h[name] for h in hist if name in h]
+    quarts = [sum(vals[i:i+q]) / len(vals[i:i+q])
+              for i in range(0, len(vals), q)]
+    print(f"{name} quartile means: " +
+          " ".join(f"{v:.3f}" for v in quarts))

@@ -24,9 +24,20 @@ p.add_argument("--num_envs", type=int, default=8)
 p.add_argument("--learn_every", type=int, default=4,
                help="lower update ratio than the reference's 1 (a round-2 "
                "stabilizer; 500-step episodes still give 125 updates/ep)")
+p.add_argument("--tag", default="", help="suffix for the output dir")
 args = p.parse_args()
 
+if args.tag:
+    OUT = pathlib.Path(str(OUT) + "_" + args.tag)
+    OUT.mkdir(parents=True, exist_ok=True)
 
+# v2 recipe: the first 5k run (n-step + h-transform + mean reward alone)
+# hit the overestimation spiral — loss 0.36 -> 6e9 by episode 300 while
+# pick rate sat below the random-exploration baseline. Adds: gamma 0.99
+# (mean team reward ~0.06/step puts the true value scale near 6, so a
+# 1000-step horizon buys nothing), raw-space target clamp at 50 (~8x the
+# value bound), Huber, Polyak tau 5e-3, and epsilon reaching its floor at
+# ~370 episodes instead of ~18.
 cfg = RLRunConfig(
     env_id="tarware-medium-19agvs-9pickers-partialobs-v1",
     algo="qmix",
@@ -40,6 +51,11 @@ cfg = RLRunConfig(
     n_step=3,
     value_transform=True,
     team_reward="mean",
+    gamma=0.99,
+    td_clip=50.0,
+    huber_delta=1.0,
+    target_tau=5e-3,
+    epsilon_decay=0.99995,
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=500,
 )

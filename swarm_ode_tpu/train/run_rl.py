@@ -384,10 +384,11 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         rew_sum, deliv, clash, stuck = (
             rew_sum / B, deliv / B, clash / B, stuck / B,
         )
+        coma_aux = None
         if cfg.algo == "coma":
             key, ks = jax.random.split(key)
             sampled = replay.sample(buf, ks, cfg.batch_size)
-            astate, aux = coma_update(
+            astate, coma_aux = coma_update(
                 astate,
                 {
                     "obs_feats": sampled["obs_feats"],
@@ -414,6 +415,10 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             "loss": float(loss[loss != 0].mean()) if (loss != 0).any() else 0.0,
             "seconds": time.time() - t0,
         }
+        if coma_aux is not None:
+            stats["critic_loss"] = float(coma_aux["critic_loss"])
+            stats["actor_loss"] = float(coma_aux["actor_loss"])
+            stats["loss"] = stats["critic_loss"]
         history.append(stats)
         if logger:
             logger.log(stats, step=ep)

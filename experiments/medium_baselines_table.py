@@ -49,7 +49,7 @@ rows = {}
 for name in args.models:
     cfg = BaselineTrainConfig(
         model=name, num_epochs=args.epochs, hidden_dim=128,
-        device_dtype="bfloat16",
+        device_dtype="uint8",
     )
     t0 = time.time()
     out = train_baseline(ds, cfg, verbose=True)

@@ -1,10 +1,11 @@
 """Reference-scale GDE training: 5 seed files of medium-19-9, 200 epochs
 (reference scripts/train_gde.py:443-535 recipe).
 
-The full 1000-episode dataset stays device-resident in bfloat16 (~11.4 GB
-of the chip's 16 GB HBM; values are bf16-exact small integers), windows are
-cut on device, and the train step runs the structured batched path — zero
-host transfers inside the epoch loop.
+The full 1000-episode dataset stays device-resident in uint8 (~6.1 GB of
+the chip's 16 GB HBM; obs are integers in [0, 24], validated before
+upload — bf16 at 12.2 GB left too little compile headroom and OOMed),
+windows are cut on device, and the train step runs the structured batched
+path — zero host transfers inside the epoch loop.
 
 Usage: python experiments/medium_gde_ref_scale.py [--epochs N] [--probe]
   --probe: measure ms/batch over 200 steps and exit (for step-time checks).
@@ -90,7 +91,7 @@ OUT.mkdir(parents=True, exist_ok=True)
 cfg = GDETrainConfig(
     num_epochs=args.epochs,
     batch_size=args.batch_size,
-    device_dtype="bfloat16",
+    device_dtype="uint8",
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=10,
 )

@@ -54,8 +54,9 @@ class BaselineTrainConfig:
     val_frac: float = 0.2
     # Keep the stacked episode tensor in device memory and cut windows
     # inside the jitted step (same fast path as train_gde; requires
-    # equal-length episodes). 'bfloat16' halves resident bytes — obs values
-    # are small integers/flags, bf16-exact.
+    # equal-length episodes). 'bfloat16' halves resident bytes, 'uint8'
+    # quarters them — obs values are small integers/flags, exact in both
+    # (validated; see train_gde.compact_episodes).
     device_data: bool = True
     device_dtype: str = "float32"
 
@@ -91,20 +92,23 @@ def train_baseline(
 
     # Device-resident fast path (same as train_gde): ship (B, 2) index
     # pairs, cut windows on device.
-    from swarm_ode_tpu.train.train_gde import _extract_windows
+    from swarm_ode_tpu.train.train_gde import (
+        _extract_windows,
+        compact_episodes,
+    )
 
     ep_lens = {ep.shape[0] for ep in dataset.episodes}
     use_dev = config.device_data and len(ep_lens) == 1
-    dev_dtype = (
-        jnp.bfloat16 if config.device_dtype == "bfloat16" else jnp.float32
-    )
     data = {}
     index_np = None
     if use_dev:
         index_np = np.asarray(dataset._index, np.int32)
+        episodes_np, dev_dtype = compact_episodes(
+            np.stack(dataset.episodes), config.device_dtype
+        )
         data = {
             "episodes": meshlib.replicate(
-                mesh, jnp.asarray(np.stack(dataset.episodes), dev_dtype)
+                mesh, jnp.asarray(episodes_np, dev_dtype)
             ),
             "positions": meshlib.replicate(
                 mesh, jnp.asarray(np.stack(dataset._positions))

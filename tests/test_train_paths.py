@@ -15,9 +15,11 @@ from swarm_ode_tpu.train.train_baselines import (
 )
 
 
-def _toy_dataset(E=3, T=12, N=4, D=9, num_agvs=2, seed=0):
+def _toy_dataset(E=3, T=12, N=4, D=9, num_agvs=2, seed=0, integral=False):
     rng = np.random.RandomState(seed)
     eps = [rng.rand(T, N, D).astype(np.float32) * 8.0 for _ in range(E)]
+    if integral:
+        eps = [np.floor(e) for e in eps]
     return TrajectoryDataset(
         episodes=eps, num_agvs=num_agvs, num_pickers=N - num_agvs, seq_len=4
     )
@@ -42,6 +44,33 @@ def test_extract_windows_matches_host_batch():
     np.testing.assert_array_equal(np.asarray(count), host["count"])
     np.testing.assert_allclose(np.asarray(nxt), host["next_pos"], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(pos), host["pos"], rtol=1e-6)
+
+
+def test_gde_uint8_resident_equals_float32():
+    """uint8 device storage is exact for integral obs: identical losses to
+    the float32 resident path (the reference-scale HBM-fit recipe)."""
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+
+    ds = _toy_dataset(integral=True)
+    losses = []
+    for dtype in ("uint8", "float32"):
+        cfg = GDETrainConfig(
+            num_epochs=2, batch_size=4, hidden_dim=8,
+            device_dtype=dtype,
+        )
+        out = train_gde(ds, cfg, verbose=False)
+        losses.append(out["history"]["val_loss"])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_gde_uint8_rejects_non_integral():
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+
+    ds = _toy_dataset(integral=False)
+    with pytest.raises(ValueError, match="uint8"):
+        train_gde(ds, GDETrainConfig(num_epochs=1, batch_size=4,
+                                     hidden_dim=8, device_dtype="uint8"),
+                  verbose=False)
 
 
 @pytest.mark.parametrize("model", ["gru", "pos_gru"])

@@ -127,8 +127,7 @@ def train_baseline(
             "weight": batch["weight"],
         }
 
-    @jax.jit
-    def train_step(params, opt_state, batch, data):
+    def _step_math(params, opt_state, batch, data):
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch_to_loss_input(batch, data))
         )(params)
@@ -136,9 +135,54 @@ def train_baseline(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    train_step = jax.jit(_step_math)
+
     eval_loss = jax.jit(
         lambda p, b, data: loss_fn(p, batch_to_loss_input(b, data))
     )
+
+    # Epoch-scan fast path, same rationale as train_gde: one dispatch and
+    # one scalar readback per epoch instead of a host round trip per batch
+    # (which dominates through the remote-chip tunnel).
+    @jax.jit
+    def train_epoch_scan(params, opt_state, pairs, data):
+        def body(carry, pb):
+            params, opt_state = carry
+            batch = {
+                "idx": pb,
+                "weight": jnp.ones((pb.shape[0],), jnp.float32),
+            }
+            params, opt_state, loss = _step_math(
+                params, opt_state, batch, data
+            )
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), pairs
+        )
+        return params, opt_state, losses
+
+    @jax.jit
+    def eval_epoch_scan(params, pairs, data):
+        def body(_, pb):
+            batch = {
+                "idx": pb,
+                "weight": jnp.ones((pb.shape[0],), jnp.float32),
+            }
+            return None, loss_fn(params, batch_to_loss_input(batch, data))
+
+        _, losses = jax.lax.scan(body, None, pairs)
+        return losses
+
+    def epoch_pairs(perm, B):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_full = len(perm) // B
+        pairs = index_np[perm[: n_full * B]].reshape(n_full, B, 2)
+        spec = P(None, "dp") if B % n_dev == 0 else P()
+        return jax.device_put(
+            jnp.asarray(pairs, jnp.int32), NamedSharding(mesh, spec)
+        )
 
     def device_batch(idx):
         if use_dev:
@@ -168,17 +212,29 @@ def train_baseline(
         t0 = time.time()
         perm = rng.permutation(train_idx)
         tot, nb = 0.0, 0
-        for i in range(0, len(perm) - B + 1, B):
-            batch = device_batch(perm[i : i + B])
-            params, opt_state, loss = train_step(params, opt_state, batch, data)
-            tot += float(loss)
-            nb += 1
-        vtot, vnb = 0.0, 0
-        for i in range(0, max(len(val_idx) - B + 1, 1), B):
-            vtot += float(
-                eval_loss(params, device_batch(val_idx[i : i + B]), data)
+        if use_dev:
+            params, opt_state, losses = train_epoch_scan(
+                params, opt_state, epoch_pairs(perm, B), data
             )
-            vnb += 1
+            tot, nb = float(losses.sum()), losses.shape[0]
+        else:
+            for i in range(0, len(perm) - B + 1, B):
+                batch = device_batch(perm[i : i + B])
+                params, opt_state, loss = train_step(
+                    params, opt_state, batch, data
+                )
+                tot += float(loss)
+                nb += 1
+        vtot, vnb = 0.0, 0
+        if use_dev and len(val_idx) >= B:
+            vlosses = eval_epoch_scan(params, epoch_pairs(val_idx, B), data)
+            vtot, vnb = float(vlosses.sum()), vlosses.shape[0]
+        else:
+            for i in range(0, max(len(val_idx) - B + 1, 1), B):
+                vtot += float(
+                    eval_loss(params, device_batch(val_idx[i : i + B]), data)
+                )
+                vnb += 1
         train_loss, val_loss = tot / max(nb, 1), vtot / max(vnb, 1)
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)

@@ -252,8 +252,7 @@ def train_gde(
             "weight": batch["weight"],
         }
 
-    @jax.jit
-    def train_step(params, opt_state, batch, data):
+    def _step_math(params, opt_state, batch, data):
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch_to_loss_input(batch, data))
         )(params)
@@ -261,9 +260,61 @@ def train_gde(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    train_step = jax.jit(_step_math)
+
     eval_loss = jax.jit(
         lambda p, b, data: loss_fn(p, batch_to_loss_input(b, data))
     )
+
+    # Epoch-scan fast path (resident data only): the per-batch Python loop
+    # costs one host<->device round trip per step (float(loss) sync +
+    # batch upload), which dominates the 1.6 ms device step through the
+    # remote-chip tunnel (~12 min/epoch observed vs ~20 s of device math
+    # at reference scale). Shipping the whole epoch's shuffled index
+    # tensor (n_batches, B, 2) and scanning the train step on device makes
+    # an epoch ONE dispatch + ONE scalar readback.
+    @jax.jit
+    def train_epoch_scan(params, opt_state, pairs, data):
+        def body(carry, pb):
+            params, opt_state = carry
+            batch = {
+                "idx": pb,
+                "weight": jnp.ones((pb.shape[0],), jnp.float32),
+            }
+            params, opt_state, loss = _step_math(
+                params, opt_state, batch, data
+            )
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), pairs
+        )
+        return params, opt_state, losses
+
+    @jax.jit
+    def eval_epoch_scan(params, pairs, data):
+        def body(_, pb):
+            batch = {
+                "idx": pb,
+                "weight": jnp.ones((pb.shape[0],), jnp.float32),
+            }
+            return None, loss_fn(params, batch_to_loss_input(batch, data))
+
+        _, losses = jax.lax.scan(body, None, pairs)
+        return losses
+
+    def epoch_pairs(perm):
+        """Full batches only (matches the per-batch loop's remainder
+        drop), dp-sharded on the batch axis inside each scan step
+        (replicated when B doesn't divide over the mesh)."""
+        n_full = len(perm) // B
+        pairs = index_np[perm[: n_full * B]].reshape(n_full, B, 2)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, "dp") if B % n_dev == 0 else P()
+        return jax.device_put(
+            jnp.asarray(pairs, jnp.int32), NamedSharding(mesh, spec)
+        )
 
     def device_batch(idx, remap=None):
         if use_dev:
@@ -359,6 +410,13 @@ def train_gde(
                     )
                     tot += float(loss)
                     nb += 1
+        elif use_dev:
+            pairs = epoch_pairs(rng.permutation(train_idx))
+            params, opt_state, losses = train_epoch_scan(
+                params, opt_state, pairs, data
+            )
+            tot = float(losses.sum())
+            nb = losses.shape[0]
         else:
             perm = rng.permutation(train_idx)
             for i in range(0, len(perm) - B + 1, B):
@@ -379,6 +437,10 @@ def train_gde(
                     batch = device_batch(vw[i : i + B], remap)
                     vtot += float(eval_loss(params, batch, sdata))
                     vnb += 1
+        elif use_dev and len(val_idx) >= B:
+            vlosses = eval_epoch_scan(params, epoch_pairs(val_idx), data)
+            vtot = float(vlosses.sum())
+            vnb = vlosses.shape[0]
         else:
             for i in range(0, max(len(val_idx) - B + 1, 1), B):
                 batch = device_batch(val_idx[i : i + B])

@@ -63,6 +63,26 @@ def test_gde_uint8_resident_equals_float32():
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
 
 
+def test_gde_epoch_scan_equals_host_loop():
+    """The on-device epoch scan (one dispatch per epoch) reproduces the
+    host per-batch loop's losses: same shuffles, same batches, same
+    update order."""
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+
+    ds = _toy_dataset()
+    losses = []
+    for dev in (True, False):
+        cfg = GDETrainConfig(
+            num_epochs=2, batch_size=4, hidden_dim=8, device_data=dev,
+        )
+        out = train_gde(ds, cfg, verbose=False)
+        losses.append(
+            (out["history"]["train_loss"], out["history"]["val_loss"])
+        )
+    np.testing.assert_allclose(losses[0][0], losses[1][0], rtol=2e-5)
+    np.testing.assert_allclose(losses[0][1], losses[1][1], rtol=2e-5)
+
+
 def test_gde_uint8_rejects_non_integral():
     from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
 

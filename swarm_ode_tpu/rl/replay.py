@@ -72,6 +72,19 @@ def sample(buf: ReplayBuffer, key, batch_size: int):
     return jax.tree.map(lambda s: s[idx], buf.storage)
 
 
+def sample_recent(buf: ReplayBuffer, key, batch_size: int, window: int):
+    """Uniform sample over the most recent `window` written slots — the
+    on-policy window for actor-critic updates (COMA): stale transitions
+    from older policies bias the policy gradient, so the actor should
+    only see the data its own policy just generated. Newest items sit at
+    ptr-1, ptr-2, ... (mod capacity)."""
+    cap = capacity(buf)
+    w = jnp.minimum(jnp.int32(window), buf.size)
+    off = jax.random.randint(key, (batch_size,), 1, jnp.maximum(w, 1) + 1)
+    idx = (buf.ptr - off) % cap
+    return jax.tree.map(lambda s: s[idx], buf.storage)
+
+
 def sample_nstep(
     buf: ReplayBuffer, key, batch_size: int, n: int, stride: int
 ):

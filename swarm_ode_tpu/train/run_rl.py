@@ -71,6 +71,12 @@ class RLRunConfig:
     huber_delta: float = 0.0
     target_tau: float = 0.0
     epsilon_decay: Optional[float] = None  # None = per-algo default
+    # COMA is on-policy: its updates sample only the freshest episode
+    # stride (replay.sample_recent) instead of the whole buffer, this many
+    # minibatches per stride. The reference sampled the full deque
+    # (gru.py:432-440) — with its single-episode memory that WAS
+    # on-policy; a shared multi-episode ring is not.
+    coma_updates: int = 8
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
@@ -386,19 +392,23 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         )
         coma_aux = None
         if cfg.algo == "coma":
-            key, ks = jax.random.split(key)
-            sampled = replay.sample(buf, ks, cfg.batch_size)
-            astate, coma_aux = coma_update(
-                astate,
-                {
-                    "obs_feats": sampled["obs_feats"],
-                    "global_state": sampled["global_state"],
-                    "actions": sampled["actions"],
-                    "rewards": sampled["rewards"].mean(-1) if cfg.team_reward == "mean" else sampled["rewards"].sum(-1),
-                    "next_global_state": sampled["next_global_state"],
-                    "dones": sampled["done"],
-                },
-            )
+            window = steps * B  # exactly this stride's transitions
+            for _ in range(max(1, cfg.coma_updates)):
+                key, ks = jax.random.split(key)
+                sampled = replay.sample_recent(
+                    buf, ks, cfg.batch_size, window
+                )
+                astate, coma_aux = coma_update(
+                    astate,
+                    {
+                        "obs_feats": sampled["obs_feats"],
+                        "global_state": sampled["global_state"],
+                        "actions": sampled["actions"],
+                        "rewards": sampled["rewards"].mean(-1) if cfg.team_reward == "mean" else sampled["rewards"].sum(-1),
+                        "next_global_state": sampled["next_global_state"],
+                        "dones": sampled["done"],
+                    },
+                )
         if cfg.algo == "iql" and (ep + 1) % cfg.target_sync_episodes == 0:
             astate = agent.sync_target(astate)
         if cfg.buffer_clear_episodes and (

@@ -80,3 +80,14 @@ def test_sample_nstep_chains():
             (rew[s, :, 0] * np.array([1, g, g * g]) * valid[s]).sum(),
             1 + 2 * g + 3 * g * g,
         )
+
+
+def test_sample_recent_only_newest_window():
+    buf = replay.init({"v": jnp.int32(0)}, capacity=10)
+    for i in range(25):  # wraps the ring twice
+        buf = replay.add(buf, {"v": jnp.int32(i)})
+    s = replay.sample_recent(buf, jax.random.PRNGKey(0), 64, window=4)
+    vals = np.asarray(s["v"])
+    # Newest 4 items carry values 21..24 - nothing older may appear.
+    assert set(vals.tolist()) <= {21, 22, 23, 24}
+    assert len(set(vals.tolist())) > 1  # actually samples a range

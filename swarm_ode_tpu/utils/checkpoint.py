@@ -34,7 +34,14 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Dict[str, Any], force: bool = False):
-        """state: pytree dict, e.g. {'params':…, 'opt_state':…, 'key':…}."""
+        """state: pytree dict, e.g. {'params':…, 'opt_state':…, 'key':…}.
+
+        force=True also OVERWRITES an existing checkpoint at `step` —
+        orbax's own force flag bypasses save policies but still raises
+        StepAlreadyExistsError (hit when a fresh run reuses a previous
+        run's checkpoint_dir), so the stale step is deleted first."""
+        if force and step in (self._mgr.all_steps() or []):
+            self._mgr.delete(step)
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

@@ -105,3 +105,23 @@ def test_baseline_device_path_equals_host(model):
         out = train_baseline(ds, cfg, verbose=False)
         losses.append(out["history"]["val_loss"])
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_checkpoint_force_overwrites_existing_step():
+    """A fresh run reusing a previous run's checkpoint_dir must not crash
+    on StepAlreadyExistsError: force=True deletes the stale step first."""
+    import shutil
+    import tempfile
+
+    from swarm_ode_tpu.utils.checkpoint import CheckpointManager
+
+    d = tempfile.mkdtemp()
+    try:
+        m = CheckpointManager(d)
+        m.save(5, {"x": np.arange(3.0)}, force=True)
+        m2 = CheckpointManager(d)
+        m2.save(5, {"x": np.arange(3.0) * 2}, force=True)
+        r = m2.restore({"x": np.zeros(3)})
+        np.testing.assert_allclose(r["x"], [0.0, 2.0, 4.0])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -19,7 +19,7 @@ import optax
 from flax import struct
 
 from swarm_ode_tpu.env.state import EnvParams
-from swarm_ode_tpu.graphs.hetero import build_hetero_graph
+from swarm_ode_tpu.graphs.hetero import build_hetero_graph, masks_from_feats
 from swarm_ode_tpu.models.coma import COMAActor, COMACritic
 
 
@@ -34,6 +34,10 @@ class COMAConfig:
     use_counterfactual: bool = True
     actor_hidden: int = 64
     critic_hidden: int = 128
+    # Entropy bonus on the masked policy. Without it the on-policy
+    # actor update collapses entropy within ~1k episodes on medium
+    # (observed: all-agents-pile-up, 0 deliveries, 2000+ clashes).
+    entropy_coef: float = 0.01
 
 
 @struct.dataclass
@@ -106,6 +110,15 @@ class COMAAgent:
             self.env_params, feats["agv"], feats["picker"], feats["loc"]
         )
 
+    def _masked_logits(self, actor_params, feats):
+        """Logits with invalid actions at -1e9, masks rebuilt from the
+        stored node features (same contract as rl/qmix.py learn)."""
+        logits = self._logits(actor_params, self._graph(feats))
+        masks = masks_from_feats(
+            self.env_params, feats["agv"], feats["picker"], feats["loc"]
+        )
+        return jnp.where(masks > 0, logits, -1e9)
+
     def update(self, state: COMAState, batch: Dict):
         """batch: obs_feats, global_state (B,S), actions (B,A), rewards (B,),
         next_global_state (B,S), dones (B,). (reference gru.py:432-511)."""
@@ -140,7 +153,7 @@ class COMAAgent:
             n_agents = self.env_params.num_agents
 
             def probs_for(feats):
-                logits = self._logits(state.actor_params, self._graph(feats))
+                logits = self._masked_logits(state.actor_params, feats)
                 return jax.nn.softmax(logits, axis=-1)  # (A, act)
 
             probs = jax.lax.stop_gradient(
@@ -168,12 +181,21 @@ class COMAAgent:
 
         def actor_loss_fn(ap):
             def one(feats, actions, adv_row):
-                logits = self._logits(ap, self._graph(feats))
+                # Masked policy: the behavior policy samples from the
+                # valid-action distribution (act()), so the update must
+                # normalize over the same support — and the entropy bonus
+                # keeps that distribution from collapsing.
+                logits = self._masked_logits(ap, feats)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 taken = jnp.take_along_axis(
                     logp, actions[:, None], -1
                 ).squeeze(-1)
-                return -(taken * adv_row).sum()
+                probs = jnp.exp(logp)
+                entropy = -(probs * jnp.where(probs > 1e-8, logp, 0.0)).sum(-1)
+                return (
+                    -(taken * adv_row).sum()
+                    - cfg.entropy_coef * entropy.sum()
+                )
 
             return jax.vmap(one)(
                 batch["obs_feats"], batch["actions"], adv

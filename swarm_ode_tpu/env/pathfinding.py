@@ -95,15 +95,23 @@ def replan_query(params, occupied, targets_yx, self_yx, classes, need=None):
     if need is None:
         need = jnp.ones(A, jnp.bool_)
     if params.bfs_backend == "pallas":
-        from swarm_ode_tpu.ops.bfs_pallas import bfs_query_walled
+        from swarm_ode_tpu.ops.bfs_pallas import bfs_query_occ
 
         Ws = W + 1
-        pas_w = passable_walled(params, occupied, targets_yx, self_yx, classes)
+        n = H * Ws
+        # Compaction-first: ship only the (n,) per-env occupancy; the
+        # (rows, n) passable masks are built inside the batched rule for
+        # the compacted rows alone (ops/bfs_pallas.bfs_query_occ_batched)
+        # — building them for every row up front cost ~2x the kernel.
+        occ_w = jnp.pad(occupied, ((0, 0), (0, 1))).reshape(n)
+        pick_w = jnp.pad(
+            params.picker_passable, ((0, 0), (0, 1))
+        ).reshape(n)
         tgt_w = targets_yx[:, 0] * Ws + targets_yx[:, 1]
         pos_w = self_yx[:, 0] * Ws + self_yx[:, 1]
-        return bfs_query_walled(
-            pas_w, tgt_w, pos_w, need, H, W, params.dynamic_bfs_iters,
-            row_frac=params.replan_row_frac,
+        return bfs_query_occ(
+            occ_w, tgt_w, pos_w, need, classes, pick_w, H, W,
+            params.dynamic_bfs_iters, row_frac=params.replan_row_frac,
         )
     dist, pas = dynamic_fields(params, occupied, targets_yx, self_yx, classes)
     d, nd = dist_nextdir_at(params, dist, pas, self_yx)

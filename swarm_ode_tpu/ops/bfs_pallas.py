@@ -242,6 +242,162 @@ def bfs_query_walled_batched(
     return d.reshape(B, A), nd.reshape(B, A), overflow
 
 
+def _passable_rows(occK, classK, tgtK, posK, pick_w, H, W):
+    """(K, n) int32 passable masks for K compacted rows — the same
+    semantics as env/pathfinding.passable_walled, but built only for the
+    rows the kernel will actually run. occK: (K, n) bool env occupancy,
+    classK: (K,) int32, tgtK/posK: (K,) walled-flat indices."""
+    n = H * (W + 1)
+    free_w = jnp.pad(
+        jnp.ones((H, W), jnp.bool_), ((0, 0), (0, 1))
+    ).reshape(n)
+    base = jnp.where(
+        (classK == 1)[:, None], pick_w[None, :], free_w[None, :]
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, base.shape, 1)
+    pas = base & ~occK
+    return (
+        pas | (col == tgtK[:, None]) | (col == posK[:, None])
+    ).astype(jnp.int32)
+
+
+def bfs_query_occ_batched(
+    occ_w: jnp.ndarray,  # (B, n) bool — per-env walled-flat occupancy
+    tgt_w: jnp.ndarray,  # (B, A) int32 walled-flat target index
+    pos_w: jnp.ndarray,  # (B, A) int32 walled-flat own cell
+    classes: jnp.ndarray,  # (A,) int32 0 = free grid, 1 = picker
+    need: jnp.ndarray,  # (B, A) bool
+    pick_w: jnp.ndarray,  # (n,) bool — picker-passable base mask
+    H: int,
+    W: int,
+    iters: int,
+    row_frac: float = 0.5,
+    rows_per_block: int = 256,
+    interpret: bool = False,
+):
+    """Compaction-first batched replan query.
+
+    The predecessor (bfs_query_walled_batched) received fully-built
+    (B, A, n) passable masks and then kept only ~row_frac of the rows —
+    paying mask construction and HBM traffic for every discarded row
+    (~1.9x the kernel's own cost at B=1024 medium). Here row selection
+    happens FIRST and the (K, n) masks are built from the (B, n) per-env
+    occupancy + static base masks only for the chosen rows. Bit-identical
+    results (tests/test_pallas_kernels.py pins it)."""
+    B, n = occ_w.shape
+    A = tgt_w.shape[1]
+    Ws = W + 1
+    HWp = _round_up(n + Ws, 128)
+    BA = B * A
+    K = _round_up(max(int(BA * row_frac), 1), rows_per_block)
+
+    tgt2 = tgt_w.reshape(BA).astype(jnp.int32)
+    pos2 = pos_w.reshape(BA).astype(jnp.int32)
+    a_of = jnp.arange(BA, dtype=jnp.int32) % A
+
+    if K >= BA:  # no compaction: run every row
+        chosen = jnp.arange(BA, dtype=jnp.int32)
+        Kp = _round_up(BA, rows_per_block)
+    else:
+        flags = need.reshape(BA)
+        iota = jnp.arange(BA, dtype=jnp.int32)
+        prio = jnp.where(flags, iota, iota + BA)
+        chosen = jnp.argsort(prio)[:K]  # flagged rows first, stable
+        Kp = K
+
+    occK = jnp.take(occ_w, chosen // A, axis=0)  # (K, n)
+    classK = jnp.take(classes.astype(jnp.int32), jnp.take(a_of, chosen))
+    tgtK = jnp.take(tgt2, chosen)
+    posK = jnp.take(pos2, chosen)
+    pasK = _passable_rows(occK, classK, tgtK, posK, pick_w, H, W)
+    pad_rows = Kp - pasK.shape[0]
+    pasK = jnp.pad(pasK, ((0, pad_rows), (0, HWp - n)))
+    dK, ndK = _pallas_query_call(
+        pasK,
+        jnp.pad(tgtK, (0, pad_rows)).reshape(Kp, 1),
+        jnp.pad(posK, (0, pad_rows)).reshape(Kp, 1),
+        Ws, iters, rows_per_block, interpret,
+    )
+
+    if K >= BA:
+        return (
+            dK[:BA, 0].reshape(B, A),
+            ndK[:BA, 0].reshape(B, A),
+            jnp.zeros(B, jnp.int32),
+        )
+    d = jnp.full(BA, INF, jnp.int32).at[chosen].set(dK[:K, 0])
+    nd = jnp.full(BA, -1, jnp.int32).at[chosen].set(ndK[:K, 0])
+    covered = jnp.zeros(BA, jnp.bool_).at[chosen].set(True)
+    overflow = jnp.sum(
+        (need.reshape(BA) & ~covered).reshape(B, A), axis=1
+    ).astype(jnp.int32)
+    return d.reshape(B, A), nd.reshape(B, A), overflow
+
+
+@functools.lru_cache(maxsize=None)
+def _occ_query_fn(
+    H: int, W: int, iters: int, row_frac: float, rows_per_block: int,
+    interpret: bool,
+):
+    """custom_vmap wrapper for the compaction-first occ-based query."""
+
+    @jax.custom_batching.custom_vmap
+    def q(occ_w, tgt_w, pos_w, need, classes, pick_w):
+        pas_w = (
+            _passable_rows(
+                jnp.broadcast_to(occ_w, (tgt_w.shape[0],) + occ_w.shape),
+                classes.astype(jnp.int32), tgt_w.astype(jnp.int32),
+                pos_w.astype(jnp.int32), pick_w, H, W,
+            )
+            != 0
+        )
+        return _query_walled_single(
+            pas_w, tgt_w, pos_w, H, W, iters, interpret
+        )
+
+    @q.def_vmap
+    def q_vmap(axis_size, in_batched, occ_w, tgt_w, pos_w, need, classes,
+               pick_w):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        occ_w = bcast(occ_w, in_batched[0])
+        tgt_w = bcast(tgt_w, in_batched[1])
+        pos_w = bcast(pos_w, in_batched[2])
+        need = bcast(need, in_batched[3])
+        # classes / pick_w are per-layout constants, never batched.
+        out = bfs_query_occ_batched(
+            occ_w, tgt_w, pos_w, classes, need, pick_w, H, W, iters,
+            row_frac, rows_per_block, interpret,
+        )
+        return out, (True, True, True)
+
+    return q
+
+
+def bfs_query_occ(
+    occ_w: jnp.ndarray,  # (n,) bool walled-flat occupancy
+    tgt_w: jnp.ndarray,  # (A,) int32 walled-flat
+    pos_w: jnp.ndarray,  # (A,) int32 walled-flat
+    need: jnp.ndarray,  # (A,) bool
+    classes: jnp.ndarray,  # (A,) int32
+    pick_w: jnp.ndarray,  # (n,) bool
+    H: int,
+    W: int,
+    iters: int,
+    row_frac: float = 0.5,
+    rows_per_block: int = 256,
+    interpret: bool = False,
+):
+    """Compaction-first replan query. Returns (d, nd, overflow). Single-env
+    calls compute every row; vmap routes through bfs_query_occ_batched,
+    which builds passable masks only for the compacted rows."""
+    return _occ_query_fn(
+        int(H), int(W), int(iters), float(row_frac), int(rows_per_block),
+        bool(interpret),
+    )(occ_w, tgt_w, pos_w, need, classes, pick_w)
+
+
 @functools.lru_cache(maxsize=None)
 def _walled_query_fn(
     H: int, W: int, iters: int, row_frac: float, rows_per_block: int,

@@ -101,3 +101,61 @@ def test_batched_compaction_matches_full():
     np.testing.assert_array_equal(
         np.asarray(d_t)[flagged_covered], np.asarray(d_full)[flagged_covered]
     )
+
+
+def test_occ_based_compaction_matches_pas_based():
+    """The compaction-first occ query (builds passable masks only for
+    chosen rows) is bit-identical to the mask-first walled query on real
+    env scenarios, compacted and uncompacted."""
+    import functools
+
+    from swarm_ode_tpu.env.pathfinding import passable_walled
+    from swarm_ode_tpu.ops.bfs_pallas import (
+        bfs_query_occ_batched,
+        bfs_query_walled_batched,
+    )
+
+    cfg = EnvConfig(shelf_rows=1, shelf_columns=3, num_agvs=4, num_pickers=2,
+                    observation_type="partial", bfs_backend="xla")
+    lay = build_layout(cfg)
+    params = make_params(cfg, lay)
+    H, W = params.grid_h, params.grid_w
+    Ws = W + 1
+    n = H * Ws
+    cls = agent_class(params)
+    A = params.num_agents
+
+    occs, tgts, poss, pases = [], [], [], []
+    rng = np.random.RandomState(0)
+    for seed in range(5):
+        es = step_mod.reset(params, jax.random.PRNGKey(seed))
+        agv_g, pick_g, _, _ = occupancy_grids(params, es)
+        occ = (agv_g > 0) | (pick_g > 0)
+        tgt_idx = rng.randint(params.num_goals, params.num_actions - 1, A)
+        tgt = params.action_cells[jnp.asarray(tgt_idx)]
+        self_yx = es.agent_xy[:, ::-1]
+        occs.append(jnp.pad(occ, ((0, 0), (0, 1))).reshape(n))
+        tgts.append(tgt[:, 0] * Ws + tgt[:, 1])
+        poss.append(self_yx[:, 0] * Ws + self_yx[:, 1])
+        pases.append(passable_walled(params, occ, tgt, self_yx, cls))
+
+    occ_w = jnp.stack(occs)
+    tgt_w = jnp.stack(tgts).astype(jnp.int32)
+    pos_w = jnp.stack(poss).astype(jnp.int32)
+    pas_w = jnp.stack(pases)
+    pick_w = jnp.pad(params.picker_passable, ((0, 0), (0, 1))).reshape(n)
+    need = jnp.asarray(np.random.RandomState(1).rand(5, A) < 0.4)
+    iters = int(params.dynamic_bfs_iters)
+
+    for frac in (1.0, 0.5):
+        d_o, nd_o, ov_o = bfs_query_occ_batched(
+            occ_w, tgt_w, pos_w, cls, need, pick_w, H, W, iters,
+            row_frac=frac, rows_per_block=8, interpret=True,
+        )
+        d_p, nd_p, ov_p = bfs_query_walled_batched(
+            pas_w, tgt_w, pos_w, need, H, W, iters,
+            row_frac=frac, rows_per_block=8, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(d_o), np.asarray(d_p))
+        np.testing.assert_array_equal(np.asarray(nd_o), np.asarray(nd_p))
+        np.testing.assert_array_equal(np.asarray(ov_o), np.asarray(ov_p))

@@ -34,7 +34,12 @@ p.add_argument("--epochs", type=int, default=200)
 p.add_argument("--batch_size", type=int, default=32)
 p.add_argument("--max_episodes", type=int, default=None)
 p.add_argument("--probe", action="store_true")
+p.add_argument("--horizon", type=int, default=1,
+               help="supervise the ODE at t=1..horizon (1 = ref recipe)")
+p.add_argument("--tag", default="", help="suffix for the output dir")
 args = p.parse_args()
+if args.tag:
+    OUT = pathlib.Path(str(OUT) + "_" + args.tag)
 
 files = [str(DATA / f"warehouse_data_{ENV}_seed{s}.h5") for s in SEEDS]
 files = [f for f in files if pathlib.Path(f).exists()]
@@ -92,6 +97,7 @@ cfg = GDETrainConfig(
     num_epochs=args.epochs,
     batch_size=args.batch_size,
     device_dtype="uint8",
+    horizon=args.horizon,
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=10,
 )

@@ -64,26 +64,49 @@ class GDETrainConfig:
     # 12.2 GB resident to 6.1 GB, leaving HBM headroom the 16 GB chip
     # needs: the bf16 run OOMed during the first train-step compile).
     device_dtype: str = "float32"
+    # Supervise the ODE at t = 1..horizon (one solve, losses at every
+    # integer time). horizon=1 is the reference recipe
+    # (train_gde.py:469-535); the t=1-only model diverges when integrated
+    # past its trained horizon (RESULTS.md "multi-horizon" table), so
+    # horizon>1 is the fix for genuine continuous-time rollouts.
+    # horizon>1 requires the device-resident data path.
+    horizon: int = 1
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
 
 
-def _batch_loss(model: GraphODE, num_agvs, distance_threshold):
+def _batch_loss(model: GraphODE, num_agvs, distance_threshold,
+                horizon: int = 1):
     """Whole-batch loss on the structured batched path (same math as
-    vmap-of-per-graph; see models/gde.py::apply_batched)."""
-    t_span = jnp.array([0.0, 1.0], jnp.float32)
+    vmap-of-per-graph; see models/gde.py::apply_batched). horizon=1 keeps
+    the reference's t=1-endpoint MSE; horizon>1 averages MSE over the
+    trajectory points t = 1..horizon (batch carries (B, Hz, N, 2) targets
+    and an (B, Hz) horizon-validity weight)."""
+    t_span = jnp.arange(horizon + 1, dtype=jnp.float32)
 
     def loss_fn(params, batch):
         g = build_temporal_batch(
             batch["obs"], batch["count"], num_agvs, distance_threshold
         )
         out = model.apply_batched(params, g, t_span)
-        pred = out["trajectories"][1]  # (B, W, N, 2)
         cur_slot = jnp.maximum(batch["count"] - 1, 0)  # (B,)
-        cur = jnp.take_along_axis(
-            pred, cur_slot[:, None, None, None], axis=1
-        )[:, 0]  # (B, N, 2) — newest frame's agents
-        losses = jnp.mean((cur - batch["next_pos"]) ** 2, axis=(1, 2))
+        if horizon == 1:
+            pred = out["trajectories"][1]  # (B, W, N, 2)
+            cur = jnp.take_along_axis(
+                pred, cur_slot[:, None, None, None], axis=1
+            )[:, 0]  # (B, N, 2) — newest frame's agents
+            losses = jnp.mean((cur - batch["next_pos"]) ** 2, axis=(1, 2))
+        else:
+            pred = out["trajectories"][1:]  # (Hz, B, W, N, 2)
+            cur = jnp.take_along_axis(
+                pred, cur_slot[None, :, None, None, None], axis=2
+            )[:, :, 0]  # (Hz, B, N, 2)
+            tgt = jnp.moveaxis(batch["next_pos"], 1, 0)  # (Hz, B, N, 2)
+            per = jnp.mean((cur - tgt) ** 2, axis=(2, 3))  # (Hz, B)
+            hw = jnp.moveaxis(batch["hweight"], 1, 0)  # (Hz, B)
+            losses = jnp.sum(per * hw, axis=0) / jnp.maximum(
+                jnp.sum(hw, axis=0), 1.0
+            )
         weights = batch["weight"]
         return jnp.sum(losses * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
@@ -116,7 +139,8 @@ def compact_episodes(episodes_np: np.ndarray, device_dtype: str):
 
 
 def _extract_windows(
-    episodes_dev, positions_dev, seq_len, e_idx, t_idx, with_pos=False
+    episodes_dev, positions_dev, seq_len, e_idx, t_idx, with_pos=False,
+    horizon: int = 1, true_len: Optional[int] = None,
 ):
     """On-device window extraction: (ep, t) index pairs -> the exact
     TrajectoryDataset.window semantics (zero-padded warmup, count, next
@@ -142,13 +166,26 @@ def _extract_windows(
             valid[:, None, None], obs_w.astype(jnp.float32), 0.0
         )
         count = jnp.minimum(t + 1, W).astype(jnp.int32)
-        next_pos = positions_dev[e, t + 1]
+        if horizon > 1:
+            # (Hz, N, 2) targets at t+1 .. t+horizon plus per-horizon
+            # validity (positions_dev is edge-padded by `horizon` frames
+            # at upload so the slice never clamps; hweight masks the pad).
+            next_pos = jax.lax.dynamic_slice_in_dim(
+                positions_dev[e], t + 1, horizon, axis=0
+            )
+            hweight = (
+                t + 1 + jnp.arange(horizon) <= (true_len - 1)
+            ).astype(jnp.float32)
+        else:
+            next_pos = positions_dev[e, t + 1]
         if with_pos:
             pos_w = jax.lax.dynamic_slice_in_dim(
                 positions_dev[e], start, W, axis=0
             )
             pos_w = jnp.where(valid[:, None, None], pos_w, 0.0)
             return obs_w, count, next_pos, pos_w
+        if horizon > 1:
+            return obs_w, count, next_pos, hweight
         return obs_w, count, next_pos
 
     return jax.vmap(one)(e_idx, t_idx)
@@ -190,7 +227,8 @@ def train_gde(
     params = meshlib.replicate(mesh, params)
     opt_state = meshlib.replicate(mesh, opt_state)
 
-    loss_fn = _batch_loss(model, dataset.num_agvs, config.distance_threshold)
+    loss_fn = _batch_loss(model, dataset.num_agvs, config.distance_threshold,
+                          horizon=config.horizon)
 
     # Device-resident dataset fast path: windows are cut on device from the
     # stacked episode tensor, so the host only ships (B, 2) index pairs.
@@ -198,6 +236,12 @@ def train_gde(
     # rotated through HBM one episode shard at a time.
     ep_lens = {ep.shape[0] for ep in dataset.episodes}
     use_dev = config.device_data and len(ep_lens) == 1
+    if config.horizon > 1 and not use_dev:
+        raise ValueError(
+            "horizon>1 requires the device-resident data path "
+            "(device_data=True with equal-length episodes)"
+        )
+    true_len = next(iter(ep_lens)) if use_dev else None
     data = {}
     episodes_np = positions_np = index_np = None
     dev_dtype = None
@@ -211,6 +255,14 @@ def train_gde(
             np.stack(dataset.episodes), config.device_dtype
         )
         positions_np = np.stack(dataset._positions)
+        if config.horizon > 1:
+            # Edge-pad so the (t+1, horizon) target slice never clamps;
+            # hweight masks the padded frames (see _extract_windows).
+            positions_np = np.pad(
+                positions_np,
+                ((0, 0), (0, config.horizon), (0, 0), (0, 0)),
+                mode="edge",
+            )
         index_np = np.asarray(dataset._index, np.int32)  # (M, 2)
         if not sharded:
             data = {
@@ -241,6 +293,19 @@ def train_gde(
     def batch_to_loss_input(batch, data):
         if not use_dev:
             return batch
+        if config.horizon > 1:
+            obs, count, nxt, hw = _extract_windows(
+                data["episodes"], data["positions"], seq_len,
+                batch["idx"][:, 0], batch["idx"][:, 1],
+                horizon=config.horizon, true_len=true_len,
+            )
+            return {
+                "obs": obs,
+                "count": count,
+                "next_pos": nxt,
+                "hweight": hw,
+                "weight": batch["weight"],
+            }
         obs, count, nxt = _extract_windows(
             data["episodes"], data["positions"], seq_len,
             batch["idx"][:, 0], batch["idx"][:, 1],

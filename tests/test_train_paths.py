@@ -125,3 +125,27 @@ def test_checkpoint_force_overwrites_existing_step():
         np.testing.assert_allclose(r["x"], [0.0, 2.0, 4.0])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gde_multi_horizon_trains():
+    """horizon>1 supervises t=1..H in one solve: runs on the resident
+    path, losses finite, and end-of-episode horizons are weight-masked
+    (T=12 toy episodes have windows within H of the episode end)."""
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+
+    ds = _toy_dataset()
+    cfg = GDETrainConfig(num_epochs=2, batch_size=4, hidden_dim=8,
+                         horizon=3)
+    out = train_gde(ds, cfg, verbose=False)
+    assert all(np.isfinite(v) for v in out["history"]["train_loss"])
+    assert all(np.isfinite(v) for v in out["history"]["val_loss"])
+
+
+def test_gde_horizon_requires_device_path():
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+    import pytest as _pytest
+
+    ds = _toy_dataset()
+    with _pytest.raises(ValueError, match="horizon"):
+        train_gde(ds, GDETrainConfig(num_epochs=1, horizon=2,
+                                     device_data=False), verbose=False)

@@ -26,10 +26,16 @@ from swarm_ode_tpu.graphs.temporal import (
 from swarm_ode_tpu.models.gde import GraphODE
 from swarm_ode_tpu.utils.checkpoint import CheckpointManager
 
+import argparse
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--run_dir", default="/root/repo/runs/gde_medium_ref")
+args = ap.parse_args()
+
 ENV = "tarware-medium-19agvs-9pickers-partialobs-v1"
 DATA = pathlib.Path("/root/repo/datasets")
-CKPT = pathlib.Path("/root/repo/runs/gde_medium_ref/ckpt")
-OUT = pathlib.Path("/root/repo/runs/gde_medium_ref/multistep.json")
+CKPT = pathlib.Path(args.run_dir) / "ckpt"
+OUT = pathlib.Path(args.run_dir) / "multistep.json"
 HORIZON = 4
 B = 64
 

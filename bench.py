@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--replan_mode", default="bfs", choices=["bfs", "greedy", "off"])
+    ap.add_argument("--bfs_kernel", default="int32",
+                    choices=["int32", "bitpack32"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -43,7 +45,8 @@ def main():
     from swarm_ode_tpu.env import step as step_mod
     from swarm_ode_tpu.policies import heuristic as H
 
-    cfg = EnvConfig.from_env_id(args.env_id, replan_mode=args.replan_mode)
+    cfg = EnvConfig.from_env_id(args.env_id, replan_mode=args.replan_mode,
+                                bfs_kernel=args.bfs_kernel)
     lay = build_layout(cfg)
     params = make_params(cfg, lay)
     policy = H.make_policy(params, lay)

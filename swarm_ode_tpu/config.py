@@ -70,6 +70,10 @@ class EnvConfig:
     bfs_backend: str = "auto"
     # Replan-BFS relaxation sweeps; 0 = auto (max(32, (H+W)//2)).
     dynamic_bfs_iters: int = 0
+    # Pallas replan-kernel variant: 'int32' (min-plus distance field) or
+    # 'bitpack32' (1-bit wavefront, 32 cells/lane + query rotation —
+    # ops/bfs_bitpack.py; bit-identical results, tested).
+    bfs_kernel: str = "int32"
     # Batched-replan compaction budget: in a vmapped batch, the BFS kernel
     # runs only the rows the step consumes (replanning agents, potential
     # clash triggers, stuck candidates), compacted across envs into a dense

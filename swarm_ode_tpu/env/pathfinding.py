@@ -112,7 +112,7 @@ def replan_query(params, occupied, targets_yx, self_yx, classes, need=None):
         return bfs_query_occ(
             occ_w, tgt_w, pos_w, need, classes, pick_w, H, W,
             params.dynamic_bfs_iters, row_frac=params.replan_row_frac,
-            rows_per_block=128,
+            rows_per_block=128, kernel=params.bfs_kernel,
         )
     dist, pas = dynamic_fields(params, occupied, targets_yx, self_yx, classes)
     d, nd = dist_nextdir_at(params, dist, pas, self_yx)

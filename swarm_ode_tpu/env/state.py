@@ -56,6 +56,7 @@ class EnvParams:
     replan_mode: str = static()
     dynamic_bfs_iters: int = static()
     bfs_backend: str = static()  # 'pallas' (VMEM-resident kernel) | 'xla'
+    bfs_kernel: str = static()  # 'int32' | 'bitpack32' pallas variant
     replan_row_frac: float = static()  # batched-replan compaction budget
     # --- arrays ---
     agent_type: jnp.ndarray  # (A,) int32 AgentType
@@ -152,6 +153,7 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
             else max(32, (2 * (H + W)) // 3)
         ),
         bfs_backend=_default_bfs_backend(config.bfs_backend),
+        bfs_kernel=config.bfs_kernel,
         replan_row_frac=config.replan_row_frac,
         agent_type=jnp.asarray(agent_type),
         highway=jnp.asarray(lay.highway),

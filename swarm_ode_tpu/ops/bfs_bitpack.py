@@ -1,0 +1,269 @@
+"""Bit-packed wavefront BFS: 1 bit per cell, 32 cells per int lane.
+
+The int32 min-plus kernel (ops/bfs_pallas.py) spends ~10 VPU ops per
+sweep on every one of 640 lanes per query. For unit edge weights the
+same wavefront is pure reachability: `reached |= (neighbor shifts) &
+passable`, one BIT per cell — a query's whole grid packs into
+WORDS = ceil((H*(W+1) + W+1) / 32) lanes (medium: 19), and
+QPR = 128 // WORDS queries ride side-by-side in one 128-lane row.
+
+Two tricks make the packed form practical:
+
+1. **Rotation**: each query's bits are cyclically rotated so the agent's
+   own cell sits at global bit 0. pltpu.roll (and the ±1 / ±Ws moves)
+   are translation-invariant over the M = WORDS*32 cyclic bit space, so
+   the wavefront is unchanged — but the agent cell and its four
+   neighbors now sit at CONSTANT bit positions (0, ±1, ±Ws mod M), so
+   per-sweep distance tracking is a constant-mask test instead of a
+   cross-lane extraction (which would otherwise erase the packing win).
+2. **Sweep-count distances**: a cell at BFS distance d stays unset for
+   exactly the first d sweeps, so `cnt += (bit still unset)` accumulated
+   per sweep IS the distance once the final mask confirms the bit was
+   reached. Five counters (own cell + 4 neighbors) live as whole
+   (rb, 128) registers — correct at their special lane, garbage
+   elsewhere; only the special lane is read back.
+
+Next-hop selection (UP, DOWN, LEFT, RIGHT preference, exact tie-break
+parity with ops/bfs_pallas._bfs_query_kernel) runs on the host-side XLA
+graph over the (K,) extracted values.
+
+Semantics parity is pinned by tests/test_bfs_bitpack.py against the
+int32 kernel on random grids and real env masks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = np.int32(1 << 28)
+
+
+def _plan(H: int, W: int):
+    Ws = W + 1
+    n = H * Ws
+    words = -(-(n + Ws) // 32)  # ceil; >= one wall-row margin
+    M = words * 32
+    qpr = 128 // words
+    if qpr < 1:
+        raise ValueError(f"grid too large for 32-bit packing: {words} words")
+    # Special bit positions in ROTATED space (own cell at bit 0):
+    # UP = own-Ws, DOWN = own+Ws, LEFT = own-1, RIGHT = own+1 (walled
+    # layout: y*Ws+x, so ±Ws is ±1 row). Mod M for the negatives.
+    specials = {
+        "pos": 0,
+        "up": (-Ws) % M,
+        "down": Ws % M,
+        "left": (-1) % M,
+        "right": 1 % M,
+    }
+    return Ws, n, words, M, qpr, specials
+
+
+def _lane_masks(words: int, qpr: int):
+    """Constant lane masks for the carry selects. Lane l holds word
+    (l % words) of query (l // words); lanes >= qpr*words are dead."""
+    lanes = np.arange(128)
+    used = lanes < qpr * words
+    w_of = lanes % words
+    first = used & (w_of == 0)  # word 0 of each query
+    last = used & (w_of == words - 1)  # last word of each query
+    return used, first, last
+
+
+def _bitpack_kernel(pas_ref, r0_ref, cnt_refs, fin_ref, *, words, qpr,
+                    iters, specials, Ws):
+    u32 = jnp.uint32
+    shape = pas_ref.shape
+
+    # Lane-classification masks, built in-kernel from the lane iota
+    # (pallas rejects captured trace-time constants as closures).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    used = lane < qpr * words
+    w_of = lane % words
+    full = jnp.uint32(0xFFFFFFFF)
+    zero = jnp.uint32(0)
+
+    def lane_mask(sel):
+        return jnp.where(sel, full, zero)
+
+    m_first = lane_mask(used & (w_of == 0))
+    m_notfirst = lane_mask(used & (w_of != 0))
+    m_last = lane_mask(used & (w_of == words - 1))
+    m_notlast = lane_mask(used & (w_of != words - 1))
+
+    def bit_mask(p):
+        """(1, 128) mask: bit p%32 set at each query's word-(p//32) lane."""
+        return jnp.where(
+            used & (w_of == p // 32),
+            jnp.uint32(1) << jnp.uint32(p % 32),
+            zero,
+        )
+
+    sp_masks = [bit_mask(specials[k])
+                for k in ("pos", "up", "down", "left", "right")]
+
+    pas = pas_ref[:].astype(u32)
+    r = r0_ref[:].astype(u32)
+    cnts = [jnp.zeros(shape, jnp.int32) for _ in range(5)]
+
+    def body(_, carry):
+        r, cnts = carry
+        cnts = [
+            c + jnp.where((r & m) == 0, 1, 0)
+            for c, m in zip(cnts, sp_masks)
+        ]
+        # pltpu.roll wants non-negative shifts: -s == 128 - s (mod 128).
+        r1 = pltpu.roll(r, 1, axis=1)  # lane l <- word l-1
+        rm1 = pltpu.roll(r, 127, axis=1)  # lane l <- word l+1
+        rw = pltpu.roll(r, 128 - (words - 1), axis=1)  # l <- l+words-1
+        rwm = pltpu.roll(r, words - 1, axis=1)  # lane l <- l-(words-1)
+        # carry sources: previous word within the query, or (at word 0)
+        # the query's own LAST word — the cyclic wrap that carries the
+        # own-cell/left-neighbor adjacency after rotation.
+        prev = (r1 & m_notfirst) | (rw & m_first)
+        nxt = (rm1 & m_notlast) | (rwm & m_last)
+        m_p1 = (r << 1) | (prev >> 31)
+        m_m1 = (r >> 1) | (nxt << 31)
+        m_pW = (r << Ws) | (prev >> (32 - Ws))
+        m_mW = (r >> Ws) | (nxt << (32 - Ws))
+        r = (r | m_p1 | m_m1 | m_pW | m_mW) & pas
+        return r, cnts
+
+    r, cnts = jax.lax.fori_loop(0, iters, body, (r, cnts))
+    for ref, c in zip(cnt_refs, cnts):
+        ref[:] = c
+    fin_ref[:] = r.astype(jnp.int32)
+
+
+def _pack_rows(vals_u32, qpr, words, rb):
+    """(K, words) uint32 -> (R, 128) int32 rows of qpr queries, R a
+    multiple of rb."""
+    K = vals_u32.shape[0]
+    Kp = -(-K // qpr) * qpr
+    v = jnp.pad(vals_u32, ((0, Kp - K), (0, 0)))
+    rows = v.reshape(Kp // qpr, qpr * words)
+    rows = jnp.pad(rows, ((0, 0), (0, 128 - qpr * words)))
+    R = rows.shape[0]
+    Rp = -(-R // rb) * rb
+    return jnp.pad(rows, ((0, Rp - R), (0, 0))).astype(jnp.int32), K, Kp
+
+
+def _extract(buf, qpr, words, lane_off, K):
+    """(R, 128) -> (K,) value at each query's lane `lane_off`."""
+    v = buf[:, : qpr * words].reshape(-1, qpr, words)[:, :, lane_off]
+    return v.reshape(-1)[:K]
+
+
+def bitpack_query_call(pas_flat, tgt, pos, H, W, iters,
+                       rows_per_block=128, interpret=False):
+    """Drop-in equivalent of ops.bfs_pallas._pallas_query_call over plain
+    walled-flat inputs: pas_flat (K, >=n) int {0,1}, tgt/pos (K,) or
+    (K, 1) walled-flat indices. Returns (d_here (K,1), nd (K,1)) int32
+    with identical semantics to the int32 kernel."""
+    Ws, n, words, M, qpr, specials = _plan(H, W)
+    K = pas_flat.shape[0]
+    tgt = tgt.reshape(K).astype(jnp.int32)
+    pos = pos.reshape(K).astype(jnp.int32)
+    pas = pas_flat[:, :n].astype(jnp.int32)
+
+    # Rotate each query so its own cell is global bit 0 (cells >= n are
+    # the impassable margin).
+    j = jnp.arange(M, dtype=jnp.int32)
+    src = (j[None, :] + pos[:, None]) % M
+    rot = jnp.where(
+        src < n,
+        jnp.take_along_axis(pas, jnp.minimum(src, n - 1), axis=1),
+        0,
+    )
+    # Pack 32 cells/lane (disjoint shifted bits: sum == or).
+    shifts = jnp.asarray(np.arange(32, dtype=np.uint32), jnp.uint32)
+    packed = (
+        (rot.reshape(K, words, 32).astype(jnp.uint32) << shifts[None, None, :])
+        .sum(-1, dtype=jnp.uint32)
+    )
+    tgt_rot = (tgt - pos) % M
+    tw, tb = tgt_rot // 32, (tgt_rot % 32).astype(jnp.uint32)
+    reach0 = jnp.where(
+        jnp.arange(words)[None, :] == tw[:, None],
+        jnp.uint32(1) << tb[:, None],
+        jnp.uint32(0),
+    )
+
+    rb = rows_per_block
+    pasP, K_, Kp = _pack_rows(packed, qpr, words, rb)
+    r0P, _, _ = _pack_rows(reach0, qpr, words, rb)
+    R = pasP.shape[0]
+
+    kern = functools.partial(
+        _bitpack_kernel, words=words, qpr=qpr, iters=iters,
+        specials=specials, Ws=Ws,
+    )
+
+    def wrapped(pas_ref, r0_ref, c0, c1, c2, c3, c4, fin):
+        kern(pas_ref, r0_ref, (c0, c1, c2, c3, c4), fin)
+
+    outs = pl.pallas_call(
+        wrapped,
+        grid=(R // rb,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((R, 128), jnp.int32) for _ in range(6)
+        ),
+        in_specs=[
+            pl.BlockSpec((rb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((rb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(6)
+        ),
+        interpret=interpret,
+    )(pasP, r0P)
+    c_pos, c_up, c_dn, c_lf, c_rt, fin = outs
+
+    names = ("pos", "up", "down", "left", "right")
+    cnt_bufs = dict(zip(names, (c_pos, c_up, c_dn, c_lf, c_rt)))
+    d = {}
+    reached = {}
+    for name in names:
+        p = specials[name]
+        lane_off, bit = p // 32, p % 32
+        cnt = _extract(cnt_bufs[name], qpr, words, lane_off, K)
+        f = _extract(fin, qpr, words, lane_off, K)
+        reach = (f >> bit) & 1
+        d[name] = jnp.where(reach == 1, cnt, INF)
+        reached[name] = reach
+
+    # Neighbor passability from the unrotated mask (same treatment as the
+    # int32 kernel's pas_i: wall margin and out-of-range are impassable).
+    def pas_at(delta):
+        idx = (pos + delta) % M
+        ok = (idx < n) & (
+            jnp.take_along_axis(pas, jnp.minimum(idx, n - 1)[:, None],
+                                axis=1)[:, 0]
+            > 0
+        )
+        return ok
+
+    order = (("up", -Ws), ("down", Ws), ("left", -1), ("right", 1))
+    best = jnp.full((K,), INF, jnp.int32)
+    nd = jnp.full((K,), -1, jnp.int32)
+    for code, (name, delta) in enumerate(order):
+        c = jnp.where(pas_at(delta), d[name], INF)
+        take = c < best
+        nd = jnp.where(take, code, nd)
+        best = jnp.where(take, c, best)
+    d_here = d["pos"]
+    here_ok = pas_at(0)
+    d_here = jnp.where(
+        here_ok, d_here, jnp.where(best < INF, best + 1, INF)
+    )
+    nd = jnp.where((d_here == 0) | (d_here >= INF), -1, nd)
+    return d_here[:, None], nd[:, None]

@@ -274,6 +274,7 @@ def bfs_query_occ_batched(
     row_frac: float = 0.5,
     rows_per_block: int = 256,
     interpret: bool = False,
+    kernel: str = "int32",
 ):
     """Compaction-first batched replan query.
 
@@ -310,14 +311,25 @@ def bfs_query_occ_batched(
     tgtK = jnp.take(tgt2, chosen)
     posK = jnp.take(pos2, chosen)
     pasK = _passable_rows(occK, classK, tgtK, posK, pick_w, H, W)
-    pad_rows = Kp - pasK.shape[0]
-    pasK = jnp.pad(pasK, ((0, pad_rows), (0, HWp - n)))
-    dK, ndK = _pallas_query_call(
-        pasK,
-        jnp.pad(tgtK, (0, pad_rows)).reshape(Kp, 1),
-        jnp.pad(posK, (0, pad_rows)).reshape(Kp, 1),
-        Ws, iters, rows_per_block, interpret,
-    )
+    if kernel == "bitpack32":
+        from swarm_ode_tpu.ops.bfs_bitpack import bitpack_query_call
+
+        dK, ndK = bitpack_query_call(
+            pasK, tgtK, posK, H, W, iters,
+            rows_per_block=min(rows_per_block, 128), interpret=interpret,
+        )
+        pad_rows = Kp - dK.shape[0]
+        dK = jnp.pad(dK, ((0, pad_rows), (0, 0)), constant_values=INF)
+        ndK = jnp.pad(ndK, ((0, pad_rows), (0, 0)), constant_values=-1)
+    else:
+        pad_rows = Kp - pasK.shape[0]
+        pasK = jnp.pad(pasK, ((0, pad_rows), (0, HWp - n)))
+        dK, ndK = _pallas_query_call(
+            pasK,
+            jnp.pad(tgtK, (0, pad_rows)).reshape(Kp, 1),
+            jnp.pad(posK, (0, pad_rows)).reshape(Kp, 1),
+            Ws, iters, rows_per_block, interpret,
+        )
 
     if K >= BA:
         return (
@@ -337,7 +349,7 @@ def bfs_query_occ_batched(
 @functools.lru_cache(maxsize=None)
 def _occ_query_fn(
     H: int, W: int, iters: int, row_frac: float, rows_per_block: int,
-    interpret: bool,
+    interpret: bool, kernel: str = "int32",
 ):
     """custom_vmap wrapper for the compaction-first occ-based query."""
 
@@ -368,7 +380,7 @@ def _occ_query_fn(
         # classes / pick_w are per-layout constants, never batched.
         out = bfs_query_occ_batched(
             occ_w, tgt_w, pos_w, classes, need, pick_w, H, W, iters,
-            row_frac, rows_per_block, interpret,
+            row_frac, rows_per_block, interpret, kernel,
         )
         return out, (True, True, True)
 
@@ -388,13 +400,16 @@ def bfs_query_occ(
     row_frac: float = 0.5,
     rows_per_block: int = 256,
     interpret: bool = False,
+    kernel: str = "int32",
 ):
     """Compaction-first replan query. Returns (d, nd, overflow). Single-env
-    calls compute every row; vmap routes through bfs_query_occ_batched,
-    which builds passable masks only for the compacted rows."""
+    calls compute every row (always on the int32 kernel — results are
+    identical, tested); vmap routes through bfs_query_occ_batched, which
+    builds passable masks only for the compacted rows and dispatches to
+    the configured kernel variant."""
     return _occ_query_fn(
         int(H), int(W), int(iters), float(row_frac), int(rows_per_block),
-        bool(interpret),
+        bool(interpret), str(kernel),
     )(occ_w, tgt_w, pos_w, need, classes, pick_w)
 
 

@@ -45,6 +45,14 @@ INF = np.int32(1 << 28)
 
 def _plan(H: int, W: int):
     Ws = W + 1
+    if Ws >= 32:
+        # The cross-word neighbor carry uses `r << Ws` / `prev >> (32-Ws)`,
+        # which assumes a ±Ws shift crosses at most one 32-bit word; wider
+        # walled rows would silently mis-pathfind (ADVICE.md round 2).
+        raise ValueError(
+            f"bitpack32 requires walled width W+1 < 32, got {Ws}; "
+            "use bfs_kernel='int32' for this layout"
+        )
     n = H * Ws
     words = -(-(n + Ws) // 32)  # ceil; >= one wall-row margin
     M = words * 32

@@ -23,6 +23,20 @@ def _ref_query(pas_flat, tgt, pos, H, W, iters):
     return d[:K], nd[:K]
 
 
+def test_bitpack_rejects_wide_walled_rows():
+    """Ws = W+1 >= 32 breaks the one-word carry assumption; the plan
+    must fail loudly instead of silently mis-pathfinding (ADVICE r2)."""
+    import pytest
+
+    from swarm_ode_tpu.ops.bfs_bitpack import _plan
+
+    with pytest.raises(ValueError, match="W\\+1 < 32"):
+        _plan(3, 31)  # Ws = 32
+    with pytest.raises(ValueError, match="W\\+1 < 32"):
+        _plan(3, 33)  # Ws = 34
+    _plan(3, 30)  # Ws = 31: fine
+
+
 def test_bitpack_matches_int32_random():
     H, W = 9, 8
     Ws = W + 1

@@ -166,6 +166,66 @@ def test_shard_map_psum_gradient():
         )
 
 
+def test_dp_sharded_env_rollout_matches_unsharded():
+    """The '8 chips ~ 1.2M env steps/s' extrapolation rests on the env
+    rollout being embarrassingly data-parallel: sharding the batch of
+    PRNG keys over 'dp' must reproduce the unsharded vmapped rollout
+    trajectory-for-trajectory with zero collectives (VERDICT r2 #9;
+    bench.py runs this exact program single-chip)."""
+    from swarm_ode_tpu.config import EnvConfig
+    from swarm_ode_tpu.env import step as step_mod
+    from swarm_ode_tpu.env.layout import build_layout
+    from swarm_ode_tpu.env.state import make_params
+    from swarm_ode_tpu.policies import heuristic as H
+
+    cfg = EnvConfig.from_env_id("tarware-tiny-3agvs-2pickers-partialobs-v1")
+    lay = build_layout(cfg)
+    params = make_params(cfg, lay)
+    policy = H.make_policy(params, lay)
+    steps = 12
+
+    def one(key):
+        es = step_mod.reset(params, key)
+        hs = H.init_state(params)
+
+        def body(carry, _):
+            es, hs = carry
+            actions, hs = policy(params, es, hs)
+            es, rew, done, info = step_mod.step(params, es, actions)
+            return (es, hs), (
+                es.agent_xy,
+                actions,
+                rew,
+                info["shelf_deliveries"],
+            )
+
+        _, traj = jax.lax.scan(body, (es, hs), None, length=steps)
+        return traj
+
+    run = jax.jit(jax.vmap(one))
+    mesh = meshlib.make_mesh(("dp",))
+    n_dev = mesh.devices.size
+    keys = jax.random.split(jax.random.PRNGKey(7), 2 * n_dev)
+
+    # Unsharded: whole batch on device 0.
+    xy1, act1, rew1, del1 = run(jax.device_put(keys, jax.devices()[0]))
+
+    # dp-sharded keys: jit auto-partitions; the program must lower with
+    # no cross-device communication and identical per-env trajectories.
+    keys_sh = jax.device_put(keys, NamedSharding(mesh, P("dp")))
+    xy8, act8, rew8, del8 = run(keys_sh)
+    assert isinstance(xy8.sharding, NamedSharding)
+    assert xy8.sharding.spec[0] == "dp"
+    assert len(xy8.addressable_shards) == n_dev
+
+    np.testing.assert_array_equal(np.asarray(xy1), np.asarray(xy8))
+    np.testing.assert_array_equal(np.asarray(act1), np.asarray(act8))
+    np.testing.assert_array_equal(np.asarray(del1), np.asarray(del8))
+    np.testing.assert_allclose(
+        np.asarray(rew1), np.asarray(rew8), rtol=0, atol=1e-7
+    )
+
+
 def test_mesh_helpers():
     mesh = meshlib.make_mesh(("dp",))
     n_dev = mesh.devices.size

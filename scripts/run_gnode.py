@@ -18,6 +18,7 @@ p.add_argument("--algo", default="qmix", choices=["iql", "qmix", "coma"])
 p.add_argument("--net", default="gnode", choices=["gnode", "gnn", "gru"])
 p.add_argument("--hidden_dim", type=int, default=128)
 p.add_argument("--checkpoint_dir", default=None)
+p.add_argument("--checkpoint_every", type=int, default=100)
 p.add_argument("--num_envs", type=int, default=1)
 p.add_argument("--n_step", type=int, default=3)
 p.add_argument("--learn_every", type=int, default=1)
@@ -35,6 +36,11 @@ p.add_argument("--target_tau", type=float, default=0.0,
                help="Polyak target update rate (0 = hard sync)")
 p.add_argument("--epsilon_decay", type=float, default=None,
                help="per-update epsilon decay override")
+p.add_argument("--eval_every", type=int, default=0,
+               help="greedy (epsilon=0) eval probe every N episodes (0=off)")
+p.add_argument("--eval_episodes", type=int, default=8)
+p.add_argument("--resume_from", default=None,
+               help="checkpoint dir to resume agent state from")
 
 if __name__ == "__main__":
     args = p.parse_args()
@@ -57,6 +63,10 @@ if __name__ == "__main__":
         epsilon_decay=args.epsilon_decay,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        eval_every=args.eval_every,
+        eval_episodes=args.eval_episodes,
+        resume_from=args.resume_from,
     )
     logger = MetricsLogger("swarm_ode", name=f"{args.net}+{args.algo}",
                            config=vars(args), out_dir="runs")

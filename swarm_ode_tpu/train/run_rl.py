@@ -80,6 +80,18 @@ class RLRunConfig:
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
+    # Periodic pure-greedy evaluation probe (epsilon=0, no learning, no
+    # buffer writes): every `eval_every` episodes, roll `eval_episodes`
+    # fresh envs with training=False and log eval_pick_rate/eval_return.
+    # The reference's own eval convention is greedy rollouts
+    # (run_heuristic.py:30-58 stat lines); all training-time pick rates
+    # here include epsilon-exploration noise. 0 = off.
+    eval_every: int = 0
+    eval_episodes: int = 8
+    # Resume the agent state (params/target/opt/epsilon) from a previous
+    # run's checkpoint dir. The reference has no resume anywhere
+    # (SURVEY.md §5 checkpoint row).
+    resume_from: Optional[str] = None
 
 
 def _make_network(cfg: RLRunConfig, action_size: int, num_agvs: int = 0,
@@ -207,6 +219,25 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
 
     key, ki = jax.random.split(key)
     astate = agent.init(ki, g0)
+
+    ep_base = 0  # episode-number offset when resuming a previous run
+    if cfg.resume_from:
+        from swarm_ode_tpu.utils.checkpoint import CheckpointManager
+
+        rck = CheckpointManager(cfg.resume_from)
+        restored = rck.restore({"agent": jax.tree.map(np.asarray, astate)})
+        if restored is None:
+            raise FileNotFoundError(
+                f"resume_from={cfg.resume_from}: no checkpoint found"
+            )
+        astate = jax.tree.map(jnp.asarray, restored["agent"])
+        ep_base = int(rck.latest_step()) + cfg.num_envs
+        if verbose:
+            print(
+                f"[resume] restored agent from {cfg.resume_from} "
+                f"step {rck.latest_step()} (continuing at episode {ep_base})",
+                flush=True,
+            )
 
     example_item = {
         "obs_feats": feats0,
@@ -369,6 +400,59 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
 
     coma_update = jax.jit(agent.update) if cfg.algo == "coma" else None
 
+    E = cfg.eval_episodes
+
+    @jax.jit
+    def eval_probe(astate, key):
+        """Pure-greedy evaluation (epsilon=0 via training=False): E fresh
+        envs, no learning, no buffer writes. Matches the reference's greedy
+        stat-line convention (run_heuristic.py:30-58)."""
+
+        def per_env_eval(es, obs, ka, astate, hidden):
+            g = hetero_graph_from_obs(params, obs)
+            masks = observations.compute_valid_action_masks(params, es)
+            if is_gru:
+                out = net.apply(_agent_params(astate), g, *hidden)
+                new_hidden = (out["agv_hidden"], out["picker_hidden"])
+                actions = agent.act(astate, g, masks, ka, training=False,
+                                    extras=hidden)
+            else:
+                new_hidden = hidden
+                actions = agent.act(astate, g, masks, ka, training=False)
+            es2, rew, done, info = step_mod.step(params, es, actions)
+            obs2 = observations.observe(params, es2)
+            return es2, obs2, new_hidden, rew, info
+
+        key, kr = jax.random.split(key)
+        es = jax.vmap(step_mod.reset, in_axes=(None, 0))(
+            params, jax.random.split(kr, E)
+        )
+        obs = jax.vmap(lambda e: observations.observe(params, e))(es)
+        hidden0 = (
+            jax.tree.map(
+                lambda h: jnp.broadcast_to(h, (E,) + h.shape),
+                net.init_hidden,
+            )
+            if is_gru
+            else jnp.zeros(E)
+        )
+
+        def body(carry, _):
+            es, obs, key, hidden = carry
+            kas = jax.random.split(key, E + 1)
+            key, kas = kas[0], kas[1:]
+            es2, obs2, hidden, rew, info = jax.vmap(
+                per_env_eval, in_axes=(0, 0, 0, None, 0)
+            )(es, obs, kas, astate, hidden)
+            return (es2, obs2, key, hidden), (
+                rew.sum(), info["shelf_deliveries"].sum(),
+            )
+
+        _, (rews, delivs) = jax.lax.scan(
+            body, (es, obs, key, hidden0), None, length=steps
+        )
+        return rews.sum() / E, delivs.sum() / E
+
     history = []
     ckpt = None
     if cfg.checkpoint_dir:
@@ -383,8 +467,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         )
         t0 = time.time()
         es, astate, buf, key, outs = run_episode(
-            es, astate, buf, key, jnp.int32(ep * steps),
-            jnp.int32(ep),
+            es, astate, buf, key, jnp.int32((ep_base + ep) * steps),
+            jnp.int32(ep_base + ep),
         )
         rew_sum, deliv, clash, stuck, loss = jax.tree.map(np.asarray, outs)
         rew_sum, deliv, clash, stuck = (
@@ -416,7 +500,7 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         ):
             buf = replay.clear(buf)
         stats = {
-            "episode": ep,
+            "episode": ep_base + ep,
             "return": float(rew_sum.sum()),
             "deliveries": int(deliv.sum()),
             "clashes": int(clash.sum()),
@@ -429,12 +513,26 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             stats["critic_loss"] = float(coma_aux["critic_loss"])
             stats["actor_loss"] = float(coma_aux["actor_loss"])
             stats["loss"] = stats["critic_loss"]
+        if cfg.eval_every and (ep + B) % cfg.eval_every < B:
+            key, ke = jax.random.split(key)
+            er, ed = jax.tree.map(np.asarray, eval_probe(astate, ke))
+            stats["eval_return"] = float(er)
+            stats["eval_deliveries"] = float(ed)
+            stats["eval_pick_rate"] = pick_rate(float(ed), steps)
+            if verbose:
+                print(
+                    f"[eval eps=0] Episode {ep_base + ep}: "
+                    f"pick_rate={stats['eval_pick_rate']:.2f} "
+                    f"deliveries={ed:.1f} return={er:.2f} "
+                    f"({E} greedy episodes)",
+                    flush=True,
+                )
         history.append(stats)
         if logger:
             logger.log(stats, step=ep)
         if verbose:
             print(
-                f"[{cfg.algo}+{cfg.net}] Episode {ep}: "
+                f"[{cfg.algo}+{cfg.net}] Episode {ep_base + ep}: "
                 f"| [Overall Pick Rate={stats['pick_rate']:.2f}]"
                 f"| [Global return={stats['return']:.2f}]"
                 f"| [Total shelf deliveries={stats['deliveries']}]"
@@ -446,7 +544,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         # ep advances in strides of B envs; fire when a multiple of
         # checkpoint_every falls inside this stride.
         if ckpt and (ep + B) % cfg.checkpoint_every < B:
-            ckpt.save(ep, {"agent": jax.tree.map(np.asarray, astate)},
+            ckpt.save(ep_base + ep,
+                      {"agent": jax.tree.map(np.asarray, astate)},
                       force=True)
 
     return {"agent_state": astate, "history": history}

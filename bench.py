@@ -34,8 +34,8 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--replan_mode", default="bfs", choices=["bfs", "greedy", "off"])
-    ap.add_argument("--bfs_kernel", default="int32",
-                    choices=["int32", "bitpack32"])
+    ap.add_argument("--bfs_kernel", default="auto",
+                    choices=["auto", "int32", "bitpack32"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 

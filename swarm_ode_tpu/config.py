@@ -72,8 +72,12 @@ class EnvConfig:
     dynamic_bfs_iters: int = 0
     # Pallas replan-kernel variant: 'int32' (min-plus distance field) or
     # 'bitpack32' (1-bit wavefront, 32 cells/lane + query rotation —
-    # ops/bfs_bitpack.py; bit-identical results, tested).
-    bfs_kernel: str = "int32"
+    # ops/bfs_bitpack.py; bit-identical results on chip: 0/1120 mismatches,
+    # 4.2x faster at the bench operating point — experiments/
+    # bitpack_onchip.py). 'auto' picks bitpack32 when the walled width
+    # fits a lane word (W+1 < 32, true for every predefined size) and
+    # falls back to int32 for wider custom layouts.
+    bfs_kernel: str = "auto"
     # Batched-replan compaction budget: in a vmapped batch, the BFS kernel
     # runs only the rows the step consumes (replanning agents, potential
     # clash triggers, stuck candidates), compacted across envs into a dense

@@ -153,7 +153,16 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
             else max(32, (2 * (H + W)) // 3)
         ),
         bfs_backend=_default_bfs_backend(config.bfs_backend),
-        bfs_kernel=config.bfs_kernel,
+        # 'auto': the bitpacked wavefront kernel needs the walled row to
+        # fit one 32-bit lane word (ops/bfs_bitpack.py plan guard); every
+        # predefined size fits (max extralarge Ws=23). On chip it is
+        # bit-identical to int32 and 4.2x faster (experiments/
+        # bitpack_onchip.py), so it is the default wherever it applies.
+        bfs_kernel=(
+            ("bitpack32" if W + 1 < 32 else "int32")
+            if config.bfs_kernel == "auto"
+            else config.bfs_kernel
+        ),
         replan_row_frac=config.replan_row_frac,
         agent_type=jnp.asarray(agent_type),
         highway=jnp.asarray(lay.highway),

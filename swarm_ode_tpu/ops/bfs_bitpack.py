@@ -9,26 +9,36 @@ QPR = 128 // WORDS queries ride side-by-side in one 128-lane row.
 
 Two tricks make the packed form practical:
 
-1. **Rotation**: each query's bits are cyclically rotated so the agent's
-   own cell sits at global bit 0. pltpu.roll (and the ±1 / ±Ws moves)
-   are translation-invariant over the M = WORDS*32 cyclic bit space, so
-   the wavefront is unchanged — but the agent cell and its four
-   neighbors now sit at CONSTANT bit positions (0, ±1, ±Ws mod M), so
-   per-sweep distance tracking is a constant-mask test instead of a
-   cross-lane extraction (which would otherwise erase the packing win).
+1. **Per-row probe masks**: distance tracking needs the wavefront's
+   arrival sweep at 5 cells (agent's own cell + 4 neighbors), whose bit
+   positions differ per query. Each probe is shipped as a one-hot
+   (rows, 128) bit mask built host-side from pure broadcast compares, and
+   the kernel accumulates `cnt += ((r & probe) == 0)` as whole-register
+   adds — correct at the probe's lane, garbage elsewhere; only the probe
+   lane is read back. (A first design instead cyclically ROTATED every
+   query so the tracked cells sat at constant bit positions — but the
+   per-row rotation is a (K, M) dynamic gather in XLA, measured at ~10x
+   the kernel's own cost per step on real TPU; the probe masks replace
+   it with O(K*words) broadcast arithmetic.)
 2. **Sweep-count distances**: a cell at BFS distance d stays unset for
    exactly the first d sweeps, so `cnt += (bit still unset)` accumulated
    per sweep IS the distance once the final mask confirms the bit was
-   reached. Five counters (own cell + 4 neighbors) live as whole
-   (rb, 128) registers — correct at their special lane, garbage
-   elsewhere; only the special lane is read back.
+   reached.
+
+The packed bit space M = words*32 carries at least Ws margin bits above
+the n grid cells. Margin bits are impassable (pas=0) and the wavefront
+starts inside the grid (r0 = target bit, r stays a subset of pas), so the
+kernel's cyclic cross-word carries only ever inject zeros across the
+0/M boundary — neighbor offsets that underflow (top-row "up") wrap into
+the margin and correctly read as unreachable.
 
 Next-hop selection (UP, DOWN, LEFT, RIGHT preference, exact tie-break
 parity with ops/bfs_pallas._bfs_query_kernel) runs on the host-side XLA
 graph over the (K,) extracted values.
 
 Semantics parity is pinned by tests/test_bfs_bitpack.py against the
-int32 kernel on random grids and real env masks.
+int32 kernel on random grids and real env masks, and on real TPU by
+experiments/bitpack_onchip.py (0/1120 mismatches).
 """
 from __future__ import annotations
 
@@ -59,32 +69,11 @@ def _plan(H: int, W: int):
     qpr = 128 // words
     if qpr < 1:
         raise ValueError(f"grid too large for 32-bit packing: {words} words")
-    # Special bit positions in ROTATED space (own cell at bit 0):
-    # UP = own-Ws, DOWN = own+Ws, LEFT = own-1, RIGHT = own+1 (walled
-    # layout: y*Ws+x, so ±Ws is ±1 row). Mod M for the negatives.
-    specials = {
-        "pos": 0,
-        "up": (-Ws) % M,
-        "down": Ws % M,
-        "left": (-1) % M,
-        "right": 1 % M,
-    }
-    return Ws, n, words, M, qpr, specials
+    return Ws, n, words, M, qpr
 
 
-def _lane_masks(words: int, qpr: int):
-    """Constant lane masks for the carry selects. Lane l holds word
-    (l % words) of query (l // words); lanes >= qpr*words are dead."""
-    lanes = np.arange(128)
-    used = lanes < qpr * words
-    w_of = lanes % words
-    first = used & (w_of == 0)  # word 0 of each query
-    last = used & (w_of == words - 1)  # last word of each query
-    return used, first, last
-
-
-def _bitpack_kernel(pas_ref, r0_ref, cnt_refs, fin_ref, *, words, qpr,
-                    iters, specials, Ws):
+def _bitpack_kernel(pas_ref, r0_ref, probe_refs, cnt_refs, fin_ref, *,
+                    words, qpr, iters, Ws):
     u32 = jnp.uint32
     shape = pas_ref.shape
 
@@ -104,26 +93,16 @@ def _bitpack_kernel(pas_ref, r0_ref, cnt_refs, fin_ref, *, words, qpr,
     m_last = lane_mask(used & (w_of == words - 1))
     m_notlast = lane_mask(used & (w_of != words - 1))
 
-    def bit_mask(p):
-        """(1, 128) mask: bit p%32 set at each query's word-(p//32) lane."""
-        return jnp.where(
-            used & (w_of == p // 32),
-            jnp.uint32(1) << jnp.uint32(p % 32),
-            zero,
-        )
-
-    sp_masks = [bit_mask(specials[k])
-                for k in ("pos", "up", "down", "left", "right")]
-
     pas = pas_ref[:].astype(u32)
     r = r0_ref[:].astype(u32)
+    probes = [p[:].astype(u32) for p in probe_refs]
     cnts = [jnp.zeros(shape, jnp.int32) for _ in range(5)]
 
     def body(_, carry):
         r, cnts = carry
         cnts = [
             c + jnp.where((r & m) == 0, 1, 0)
-            for c, m in zip(cnts, sp_masks)
+            for c, m in zip(cnts, probes)
         ]
         # pltpu.roll wants non-negative shifts: -s == 128 - s (mod 128).
         r1 = pltpu.roll(r, 1, axis=1)  # lane l <- word l-1
@@ -131,8 +110,8 @@ def _bitpack_kernel(pas_ref, r0_ref, cnt_refs, fin_ref, *, words, qpr,
         rw = pltpu.roll(r, 128 - (words - 1), axis=1)  # l <- l+words-1
         rwm = pltpu.roll(r, words - 1, axis=1)  # lane l <- l-(words-1)
         # carry sources: previous word within the query, or (at word 0)
-        # the query's own LAST word — the cyclic wrap that carries the
-        # own-cell/left-neighbor adjacency after rotation.
+        # the query's own LAST word — the cyclic wrap; margin bits there
+        # are never set, so the wrap injects only zeros (module docstring).
         prev = (r1 & m_notfirst) | (rw & m_first)
         nxt = (rm1 & m_notlast) | (rwm & m_last)
         m_p1 = (r << 1) | (prev >> 31)
@@ -161,10 +140,10 @@ def _pack_rows(vals_u32, qpr, words, rb):
     return jnp.pad(rows, ((0, Rp - R), (0, 0))).astype(jnp.int32), K, Kp
 
 
-def _extract(buf, qpr, words, lane_off, K):
-    """(R, 128) -> (K,) value at each query's lane `lane_off`."""
-    v = buf[:, : qpr * words].reshape(-1, qpr, words)[:, :, lane_off]
-    return v.reshape(-1)[:K]
+def _extract_at(buf, qpr, words, w_idx, K):
+    """(R, 128) -> (K,) value at each query's per-row word lane w_idx."""
+    v = buf[:, : qpr * words].reshape(-1, words)[:K]
+    return jnp.take_along_axis(v, w_idx[:, None], axis=1)[:, 0]
 
 
 def bitpack_query_call(pas_flat, tgt, pos, H, W, iters,
@@ -173,83 +152,80 @@ def bitpack_query_call(pas_flat, tgt, pos, H, W, iters,
     walled-flat inputs: pas_flat (K, >=n) int {0,1}, tgt/pos (K,) or
     (K, 1) walled-flat indices. Returns (d_here (K,1), nd (K,1)) int32
     with identical semantics to the int32 kernel."""
-    Ws, n, words, M, qpr, specials = _plan(H, W)
+    Ws, n, words, M, qpr = _plan(H, W)
     K = pas_flat.shape[0]
     tgt = tgt.reshape(K).astype(jnp.int32)
     pos = pos.reshape(K).astype(jnp.int32)
     pas = pas_flat[:, :n].astype(jnp.int32)
 
-    # Rotate each query so its own cell is global bit 0 (cells >= n are
-    # the impassable margin).
-    j = jnp.arange(M, dtype=jnp.int32)
-    src = (j[None, :] + pos[:, None]) % M
-    rot = jnp.where(
-        src < n,
-        jnp.take_along_axis(pas, jnp.minimum(src, n - 1), axis=1),
-        0,
-    )
-    # Pack 32 cells/lane (disjoint shifted bits: sum == or).
+    # Pack 32 cells/lane in absolute (unrotated) bit space; bits >= n are
+    # the impassable margin. Disjoint shifted bits: sum == or.
+    pasM = jnp.pad(pas, ((0, 0), (0, M - n)))
     shifts = jnp.asarray(np.arange(32, dtype=np.uint32), jnp.uint32)
     packed = (
-        (rot.reshape(K, words, 32).astype(jnp.uint32) << shifts[None, None, :])
+        (pasM.reshape(K, words, 32).astype(jnp.uint32)
+         << shifts[None, None, :])
         .sum(-1, dtype=jnp.uint32)
     )
-    tgt_rot = (tgt - pos) % M
-    tw, tb = tgt_rot // 32, (tgt_rot % 32).astype(jnp.uint32)
-    reach0 = jnp.where(
-        jnp.arange(words)[None, :] == tw[:, None],
-        jnp.uint32(1) << tb[:, None],
-        jnp.uint32(0),
-    )
+
+    word_iota = jnp.arange(words, dtype=jnp.int32)[None, :]
+
+    def bit_words(p):
+        """(K,) absolute bit positions -> (K, words) one-hot bit masks."""
+        return jnp.where(
+            word_iota == (p // 32)[:, None],
+            jnp.uint32(1) << (p % 32).astype(jnp.uint32)[:, None],
+            jnp.uint32(0),
+        )
+
+    reach0 = bit_words(tgt)
+    # Probe positions: own cell + 4 neighbors, mod M so top-row "up" (and
+    # friends) wraps into the never-reached margin -> reads as INF.
+    names = ("pos", "up", "down", "left", "right")
+    deltas = (0, -Ws, Ws, -1, 1)
+    sp_pos = {k: (pos + d) % M for k, d in zip(names, deltas)}
 
     rb = rows_per_block
     pasP, K_, Kp = _pack_rows(packed, qpr, words, rb)
     r0P, _, _ = _pack_rows(reach0, qpr, words, rb)
+    probePs = [_pack_rows(bit_words(sp_pos[k]), qpr, words, rb)[0]
+               for k in names]
     R = pasP.shape[0]
 
     kern = functools.partial(
-        _bitpack_kernel, words=words, qpr=qpr, iters=iters,
-        specials=specials, Ws=Ws,
+        _bitpack_kernel, words=words, qpr=qpr, iters=iters, Ws=Ws,
     )
 
-    def wrapped(pas_ref, r0_ref, c0, c1, c2, c3, c4, fin):
-        kern(pas_ref, r0_ref, (c0, c1, c2, c3, c4), fin)
+    def wrapped(pas_ref, r0_ref, p0, p1, p2, p3, p4,
+                c0, c1, c2, c3, c4, fin):
+        kern(pas_ref, r0_ref, (p0, p1, p2, p3, p4),
+             (c0, c1, c2, c3, c4), fin)
 
+    spec = pl.BlockSpec((rb, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         wrapped,
         grid=(R // rb,),
         out_shape=tuple(
             jax.ShapeDtypeStruct((R, 128), jnp.int32) for _ in range(6)
         ),
-        in_specs=[
-            pl.BlockSpec((rb, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(
-            pl.BlockSpec((rb, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(6)
-        ),
+        in_specs=[spec] * 7,
+        out_specs=tuple(spec for _ in range(6)),
         interpret=interpret,
-    )(pasP, r0P)
-    c_pos, c_up, c_dn, c_lf, c_rt, fin = outs
+    )(pasP, r0P, *probePs)
+    cnt_bufs = dict(zip(names, outs[:5]))
+    fin = outs[5]
 
-    names = ("pos", "up", "down", "left", "right")
-    cnt_bufs = dict(zip(names, (c_pos, c_up, c_dn, c_lf, c_rt)))
     d = {}
-    reached = {}
     for name in names:
-        p = specials[name]
-        lane_off, bit = p // 32, p % 32
-        cnt = _extract(cnt_bufs[name], qpr, words, lane_off, K)
-        f = _extract(fin, qpr, words, lane_off, K)
+        w_idx = sp_pos[name] // 32
+        bit = (sp_pos[name] % 32).astype(jnp.uint32)
+        cnt = _extract_at(cnt_bufs[name], qpr, words, w_idx, K)
+        f = _extract_at(fin, qpr, words, w_idx, K).astype(jnp.uint32)
         reach = (f >> bit) & 1
         d[name] = jnp.where(reach == 1, cnt, INF)
-        reached[name] = reach
 
-    # Neighbor passability from the unrotated mask (same treatment as the
+    # Neighbor passability from the unpacked mask (same treatment as the
     # int32 kernel's pas_i: wall margin and out-of-range are impassable).
     def pas_at(delta):
         idx = (pos + delta) % M

@@ -30,24 +30,34 @@ import argparse
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--run_dir", default="/root/repo/runs/gde_medium_ref")
+ap.add_argument("--horizon", type=int, default=4)
+ap.add_argument("--batch", type=int, default=64)
+ap.add_argument("--max_episodes", type=int, default=40)
+ap.add_argument("--max_batches", type=int, default=0, help="0 = all")
+ap.add_argument("--hidden_dim", type=int, default=64,
+                help="must match the checkpointed model")
+ap.add_argument("--cpu", action="store_true",
+                help="force the CPU backend (smoke tests)")
 args = ap.parse_args()
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
 
 ENV = "tarware-medium-19agvs-9pickers-partialobs-v1"
 DATA = pathlib.Path("/root/repo/datasets")
 CKPT = pathlib.Path(args.run_dir) / "ckpt"
 OUT = pathlib.Path(args.run_dir) / "multistep.json"
-HORIZON = 4
-B = 64
+HORIZON = args.horizon
+B = args.batch
 
 # Held-out-ish slice: last seed file only, modest episode count.
 ds = TrajectoryDataset.from_h5(
     [str(DATA / f"warehouse_data_{ENV}_seed4000.h5")], seq_len=5,
-    max_episodes=40,
+    max_episodes=args.max_episodes,
 )
 print(f"windows: {len(ds)}", flush=True)
 
 model = GraphODE(node_dim=ds.obs_dim, num_agvs=ds.num_agvs,
-                 num_pickers=ds.num_pickers, hidden_dim=64)
+                 num_pickers=ds.num_pickers, hidden_dim=args.hidden_dim)
 w0 = ds.batch([0])
 g0 = build_temporal_graph(
     TemporalWindow(obs=jnp.asarray(w0["obs"][0]),
@@ -83,6 +93,8 @@ print(f"eval windows: {len(valid)}", flush=True)
 
 errs = [[] for _ in range(HORIZON)]
 perrs = [[] for _ in range(HORIZON)]
+if args.max_batches:
+    valid = valid[: args.max_batches * B]
 for i in range(0, len(valid) - B + 1, B):
     sel = valid[i:i + B]
     b = ds.batch(sel)

@@ -22,11 +22,7 @@ from swarm_ode_tpu.train.train_baselines import (
     train_baseline,
 )
 
-ENV = "tarware-medium-19agvs-9pickers-partialobs-v1"
-SEEDS = [0, 1000, 2000, 3000, 4000]
 DATA = pathlib.Path("/root/repo/datasets")
-OUT = pathlib.Path("/root/repo/runs/baselines_medium")
-GDE_RESULT = pathlib.Path("/root/repo/runs/gde_medium_ref/result.json")
 
 p = argparse.ArgumentParser()
 p.add_argument("--epochs", type=int, default=30,
@@ -35,7 +31,29 @@ p.add_argument("--epochs", type=int, default=30,
 p.add_argument("--models", nargs="*",
                default=["gru", "lstm", "pos_gru", "pos_lstm"])
 p.add_argument("--max_episodes", type=int, default=None)
+p.add_argument("--env", default="tarware-medium-19agvs-9pickers-partialobs-v1")
+p.add_argument("--out_dir", default=None,
+               help="default: runs/baselines_<env-size-token>")
+p.add_argument("--gde_result",
+               default="/root/repo/runs/gde_medium_ref/result.json")
+p.add_argument("--hidden_dim", type=int, default=128)
+p.add_argument("--save_params", action="store_true",
+               help="pickle each model's best params into the out dir "
+               "(needed by baselines_multistep.py)")
+p.add_argument("--cpu", action="store_true",
+               help="force the CPU backend (smoke tests)")
 args = p.parse_args()
+if args.cpu:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+ENV = args.env
+SEEDS = [0, 1000, 2000, 3000, 4000]
+OUT = pathlib.Path(args.out_dir) if args.out_dir else pathlib.Path(
+    "/root/repo/runs/baselines_" + ENV.split("-")[1]
+)
+GDE_RESULT = pathlib.Path(args.gde_result)
 
 files = [str(DATA / f"warehouse_data_{ENV}_seed{s}.h5") for s in SEEDS]
 files = [f for f in files if pathlib.Path(f).exists()]
@@ -48,11 +66,18 @@ eval_idx = range(0, len(ds), max(1, len(ds) // 4000))
 rows = {}
 for name in args.models:
     cfg = BaselineTrainConfig(
-        model=name, num_epochs=args.epochs, hidden_dim=128,
+        model=name, num_epochs=args.epochs, hidden_dim=args.hidden_dim,
         device_dtype="uint8",
     )
     t0 = time.time()
     out = train_baseline(ds, cfg, verbose=True)
+    if args.save_params:
+        import pickle
+
+        import jax as _jax
+
+        with open(OUT / f"{name}_params.pkl", "wb") as fh:
+            pickle.dump(_jax.device_get(out["params"]), fh)
     m = analysis.evaluate_baseline(
         out["model"], out["params"], ds,
         position_only=name.startswith("pos_"), indices=eval_idx,

@@ -36,10 +36,21 @@ p.add_argument("--max_episodes", type=int, default=None)
 p.add_argument("--probe", action="store_true")
 p.add_argument("--horizon", type=int, default=1,
                help="supervise the ODE at t=1..horizon (1 = ref recipe)")
+p.add_argument("--hidden_dim", type=int, default=64)
 p.add_argument("--tag", default="", help="suffix for the output dir")
+p.add_argument("--out_dir", default=None,
+               help="output dir override (for smoke tests)")
+p.add_argument("--cpu", action="store_true",
+               help="force the CPU backend (smoke tests)")
 args = p.parse_args()
+if args.cpu:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 if args.tag:
     OUT = pathlib.Path(str(OUT) + "_" + args.tag)
+if args.out_dir:
+    OUT = pathlib.Path(args.out_dir)
 
 files = [str(DATA / f"warehouse_data_{ENV}_seed{s}.h5") for s in SEEDS]
 files = [f for f in files if pathlib.Path(f).exists()]
@@ -60,7 +71,7 @@ if args.probe:
     import optax
 
     model = GraphODE(node_dim=ds.obs_dim, num_agvs=ds.num_agvs,
-                     num_pickers=ds.num_pickers, hidden_dim=64)
+                     num_pickers=ds.num_pickers, hidden_dim=args.hidden_dim)
     sample = ds.batch(list(range(args.batch_size)))
     w0 = TemporalWindow(obs=jnp.asarray(sample["obs"][0]),
                         count=jnp.int32(sample["count"][0]))
@@ -96,6 +107,7 @@ OUT.mkdir(parents=True, exist_ok=True)
 cfg = GDETrainConfig(
     num_epochs=args.epochs,
     batch_size=args.batch_size,
+    hidden_dim=args.hidden_dim,
     device_dtype="uint8",
     horizon=args.horizon,
     checkpoint_dir=str(OUT / "ckpt"),

@@ -24,12 +24,33 @@ p.add_argument("--num_envs", type=int, default=8)
 p.add_argument("--learn_every", type=int, default=4,
                help="lower update ratio than the reference's 1 (a round-2 "
                "stabilizer; 500-step episodes still give 125 updates/ep)")
+p.add_argument("--env_id",
+               default="tarware-medium-19agvs-9pickers-partialobs-v1")
+p.add_argument("--hidden_dim", type=int, default=64)
+p.add_argument("--buffer_size", type=int, default=200_000)
+p.add_argument("--batch_size", type=int, default=64)
+p.add_argument("--eval_every", type=int, default=0,
+               help="greedy epsilon=0 probe cadence (0 = off)")
+p.add_argument("--eval_episodes", type=int, default=8)
+p.add_argument("--resume_from", default=None)
+p.add_argument("--net", default="gnode")
 p.add_argument("--tag", default="", help="suffix for the output dir")
+p.add_argument("--out_dir", default=None,
+               help="output dir override (for smoke tests)")
+p.add_argument("--cpu", action="store_true",
+               help="force the CPU backend (smoke tests)")
 args = p.parse_args()
+
+if args.cpu:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 if args.tag:
     OUT = pathlib.Path(str(OUT) + "_" + args.tag)
-    OUT.mkdir(parents=True, exist_ok=True)
+if args.out_dir:
+    OUT = pathlib.Path(args.out_dir)
+OUT.mkdir(parents=True, exist_ok=True)
 
 # v2 recipe: the first 5k run (n-step + h-transform + mean reward alone)
 # hit the overestimation spiral — loss 0.36 -> 6e9 by episode 300 while
@@ -39,14 +60,14 @@ if args.tag:
 # value bound), Huber, Polyak tau 5e-3, and epsilon reaching its floor at
 # ~370 episodes instead of ~18.
 cfg = RLRunConfig(
-    env_id="tarware-medium-19agvs-9pickers-partialobs-v1",
+    env_id=args.env_id,
     algo="qmix",
-    net="gnode",
+    net=args.net,
     num_envs=args.num_envs,
     num_episodes=args.num_episodes,
-    hidden_dim=64,
-    buffer_size=200_000,
-    batch_size=64,
+    hidden_dim=args.hidden_dim,
+    buffer_size=args.buffer_size,
+    batch_size=args.batch_size,
     learn_every=args.learn_every,
     n_step=3,
     value_transform=True,
@@ -58,6 +79,9 @@ cfg = RLRunConfig(
     epsilon_decay=0.99995,
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=500,
+    eval_every=args.eval_every,
+    eval_episodes=args.eval_episodes,
+    resume_from=args.resume_from,
 )
 logger = MetricsLogger(project="swarm_ode_tpu", name="qmix_medium_5k",
                        out_dir=str(OUT), use_wandb=False)

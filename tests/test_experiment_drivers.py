@@ -1,0 +1,108 @@
+"""Smoke tests for the load-bearing experiment drivers (VERDICT r2 item 10).
+
+The drivers behind the headline RESULTS.md tables (`medium_gde_ref_scale.py`,
+`gde_multistep.py`, `medium_qmix_5k.py`) run here at toy scale in fresh
+subprocesses with `--cpu`, so the tables stay reproducible as the package
+evolves. Mirrors the reference's script surface
+(/root/reference/scripts/train_gde.py, run_gnode.py) being runnable end-to-end.
+
+Skipped when the (gitignored, regenerable) dataset files are absent.
+"""
+import json
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+DATA = REPO / "datasets"
+MEDIUM_SEED0 = (
+    DATA / "warehouse_data_tarware-medium-19agvs-9pickers-partialobs-v1_seed0.h5"
+)
+MEDIUM_SEED4000 = (
+    DATA
+    / "warehouse_data_tarware-medium-19agvs-9pickers-partialobs-v1_seed4000.h5"
+)
+
+
+def _run(script, *flags, timeout=900):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "experiments" / script), "--cpu", *flags],
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, (
+        f"{script} failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc
+
+
+@pytest.mark.skipif(
+    not (MEDIUM_SEED0.exists() and MEDIUM_SEED4000.exists()),
+    reason="medium dataset files not on disk (regenerate: scripts/collect_data.py)",
+)
+def test_gde_ref_scale_then_multistep(tmp_path):
+    """Train-at-toy-scale then chain the multi-step eval off the checkpoint."""
+    out = tmp_path / "gde"
+    _run(
+        "medium_gde_ref_scale.py", "--epochs", "1", "--max_episodes", "2",
+        "--batch_size", "4", "--hidden_dim", "8", "--out_dir", str(out),
+    )
+    result = json.loads((out / "result.json").read_text())
+    assert "mean_error" in result["metrics"]
+    assert len(result["history"]["train_loss"]) == 1
+
+    _run(
+        "gde_multistep.py", "--run_dir", str(out), "--hidden_dim", "8",
+        "--batch", "4", "--max_episodes", "4", "--max_batches", "2",
+    )
+    ms = json.loads((out / "multistep.json").read_text())
+    assert set(ms) == {"h1", "h2", "h3", "h4"}
+    for h in ms.values():
+        assert h["gde_mean_error"] > 0
+        assert h["persistence_mean_error"] > 0
+
+
+@pytest.mark.skipif(
+    not (MEDIUM_SEED0.exists() and MEDIUM_SEED4000.exists()),
+    reason="medium dataset files not on disk (regenerate: scripts/collect_data.py)",
+)
+def test_baselines_table_then_multistep(tmp_path):
+    """Baselines trainer saves params; the multi-step eval loads them."""
+    out = tmp_path / "base"
+    _run(
+        "medium_baselines_table.py", "--epochs", "1", "--max_episodes", "2",
+        "--models", "pos_lstm", "lstm", "--hidden_dim", "8",
+        "--save_params", "--out_dir", str(out),
+    )
+    assert (out / "pos_lstm_params.pkl").exists()
+    assert (out / "table.md").exists()
+
+    _run(
+        "baselines_multistep.py", "--params_dir", str(out),
+        "--hidden_dim", "8", "--max_episodes", "4", "--batch", "4",
+        "--max_batches", "2",
+    )
+    ms = json.loads((out / "multistep.json").read_text())
+    assert set(ms) == {"h1", "h2", "h3", "h4"}
+    assert all("persistence_mean_error" in h for h in ms.values())
+
+
+def test_qmix_driver_smoke(tmp_path):
+    """The v2 QMIX recipe driver runs end-to-end with a greedy eval probe."""
+    out = tmp_path / "qmix"
+    _run(
+        "medium_qmix_5k.py",
+        "--env_id", "tarware-tiny-3agvs-2pickers-partialobs-v1",
+        "--num_episodes", "2", "--num_envs", "2", "--hidden_dim", "8",
+        "--buffer_size", "3000", "--batch_size", "8", "--learn_every", "10",
+        "--eval_every", "1", "--eval_episodes", "1", "--out_dir", str(out),
+    )
+    rows = [
+        json.loads(l)
+        for l in (out / "qmix_medium_5k.jsonl").read_text().splitlines()
+    ]
+    assert rows and "pick_rate" in rows[0] and "loss" in rows[0]
+    assert any("eval_pick_rate" in r for r in rows), "greedy probe missing"
+    assert (out / "ckpt").exists()

@@ -38,11 +38,13 @@ ap.add_argument("--hidden_dim", type=int, default=64,
                 help="must match the checkpointed model")
 ap.add_argument("--cpu", action="store_true",
                 help="force the CPU backend (smoke tests)")
+ap.add_argument("--env",
+                default="tarware-medium-19agvs-9pickers-partialobs-v1")
 args = ap.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 
-ENV = "tarware-medium-19agvs-9pickers-partialobs-v1"
+ENV = args.env
 DATA = pathlib.Path("/root/repo/datasets")
 CKPT = pathlib.Path(args.run_dir) / "ckpt"
 OUT = pathlib.Path(args.run_dir) / "multistep.json"

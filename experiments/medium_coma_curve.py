@@ -15,15 +15,35 @@ from swarm_ode_tpu.train.run_rl import RLRunConfig, run_marl
 from swarm_ode_tpu.utils.logging import MetricsLogger
 
 OUT = pathlib.Path("/root/repo/runs/coma_medium")
-OUT.mkdir(parents=True, exist_ok=True)
 
 p = argparse.ArgumentParser()
 p.add_argument("--num_episodes", type=int, default=2000)
 p.add_argument("--num_envs", type=int, default=8)
+p.add_argument("--env_id",
+               default="tarware-medium-19agvs-9pickers-partialobs-v1")
+p.add_argument("--lr_actor", type=float, default=1e-3)
+p.add_argument("--lr_critic", type=float, default=1e-3)
+p.add_argument("--entropy", type=float, default=0.01)
+p.add_argument("--entropy_decay", type=float, default=1.0)
+p.add_argument("--eval_every", type=int, default=0,
+               help="greedy probe cadence in episodes (0 = off)")
+p.add_argument("--eval_episodes", type=int, default=8)
+p.add_argument("--tag", default="", help="suffix for the output dir")
+p.add_argument("--out_dir", default=None)
+p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
+if args.cpu:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+if args.tag:
+    OUT = pathlib.Path(str(OUT) + "_" + args.tag)
+if args.out_dir:
+    OUT = pathlib.Path(args.out_dir)
+OUT.mkdir(parents=True, exist_ok=True)
 
 cfg = RLRunConfig(
-    env_id="tarware-medium-19agvs-9pickers-partialobs-v1",
+    env_id=args.env_id,
     algo="coma",
     net="gnode",
     num_envs=args.num_envs,
@@ -33,6 +53,12 @@ cfg = RLRunConfig(
     batch_size=64,
     learn_every=4,
     team_reward="mean",
+    coma_lr_actor=args.lr_actor,
+    coma_lr_critic=args.lr_critic,
+    coma_entropy=args.entropy,
+    coma_entropy_decay=args.entropy_decay,
+    eval_every=args.eval_every,
+    eval_episodes=args.eval_episodes,
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=500,
 )

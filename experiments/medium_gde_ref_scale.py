@@ -24,10 +24,8 @@ from swarm_ode_tpu.data.dataset import TrajectoryDataset
 from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
 from swarm_ode_tpu import analysis
 
-ENV = "tarware-medium-19agvs-9pickers-partialobs-v1"
 SEEDS = [0, 1000, 2000, 3000, 4000]
 DATA = pathlib.Path("/root/repo/datasets")
-OUT = pathlib.Path("/root/repo/runs/gde_medium_ref")
 
 p = argparse.ArgumentParser()
 p.add_argument("--epochs", type=int, default=200)
@@ -42,11 +40,14 @@ p.add_argument("--out_dir", default=None,
                help="output dir override (for smoke tests)")
 p.add_argument("--cpu", action="store_true",
                help="force the CPU backend (smoke tests)")
+p.add_argument("--env", default="tarware-medium-19agvs-9pickers-partialobs-v1")
 args = p.parse_args()
 if args.cpu:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+ENV = args.env
+OUT = pathlib.Path("/root/repo/runs/gde_" + ENV.split("-")[1] + "_ref")
 if args.tag:
     OUT = pathlib.Path(str(OUT) + "_" + args.tag)
 if args.out_dir:

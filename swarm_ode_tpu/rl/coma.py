@@ -38,6 +38,11 @@ class COMAConfig:
     # actor update collapses entropy within ~1k episodes on medium
     # (observed: all-agents-pile-up, 0 deliveries, 2000+ clashes).
     entropy_coef: float = 0.01
+    # Multiplicative per-update anneal of the entropy bonus
+    # (coef_t = entropy_coef * entropy_decay**update_step). 1.0 = constant.
+    # Annealing lets the policy sharpen late in training once the
+    # exploration pressure has done its job.
+    entropy_decay: float = 1.0
 
 
 @struct.dataclass
@@ -179,6 +184,10 @@ class COMAAgent:
             # (gru.py:481-497): Q_i minus the per-sample mean.
             adv = cur_q - cur_q.mean(axis=1, keepdims=True)
 
+        ent_coef = cfg.entropy_coef * jnp.power(
+            jnp.float32(cfg.entropy_decay), state.step.astype(jnp.float32)
+        )
+
         def actor_loss_fn(ap):
             def one(feats, actions, adv_row):
                 # Masked policy: the behavior policy samples from the
@@ -194,7 +203,7 @@ class COMAAgent:
                 entropy = -(probs * jnp.where(probs > 1e-8, logp, 0.0)).sum(-1)
                 return (
                     -(taken * adv_row).sum()
-                    - cfg.entropy_coef * entropy.sum()
+                    - ent_coef * entropy.sum()
                 )
 
             return jax.vmap(one)(

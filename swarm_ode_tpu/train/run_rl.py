@@ -77,6 +77,11 @@ class RLRunConfig:
     # (gru.py:432-440) — with its single-episode memory that WAS
     # on-policy; a shared multi-episode ring is not.
     coma_updates: int = 8
+    # COMA optimizer/entropy knobs (rl/coma.py COMAConfig semantics).
+    coma_lr_actor: float = 1e-3
+    coma_lr_critic: float = 1e-3
+    coma_entropy: float = 0.01
+    coma_entropy_decay: float = 1.0
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
@@ -212,8 +217,16 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         agent = QMIXAgent(net, params, gs_dim, qmix_cfg)
     elif cfg.algo == "coma":
         encoder = HeteroGNNEncoder(cfg.hidden_dim, 2, coord_scale=gs_scale)
+        coma_cfg = COMAConfig(
+            lr_actor=cfg.coma_lr_actor,
+            lr_critic=cfg.coma_lr_critic,
+            entropy_coef=cfg.coma_entropy,
+            entropy_decay=cfg.coma_entropy_decay,
+        )
+        if cfg.gamma is not None:
+            coma_cfg.gamma = cfg.gamma
         agent = COMAAgent(encoder, params, action_size, gs_dim,
-                          cfg.hidden_dim, COMAConfig())
+                          cfg.hidden_dim, coma_cfg)
     else:
         raise ValueError(cfg.algo)
 

@@ -155,7 +155,7 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
         bfs_backend=_default_bfs_backend(config.bfs_backend),
         # 'auto': the bitpacked wavefront kernel needs the walled row to
         # fit one 32-bit lane word (ops/bfs_bitpack.py plan guard); every
-        # predefined size fits (max extralarge Ws=23). On chip it is
+        # predefined size fits (max extralarge Ws=31). On chip it is
         # bit-identical to int32 and 4.2x faster (experiments/
         # bitpack_onchip.py), so it is the default wherever it applies.
         bfs_kernel=(

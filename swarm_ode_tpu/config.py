@@ -71,7 +71,7 @@ class EnvConfig:
     # Replan-BFS relaxation sweeps; 0 = auto (max(32, (H+W)//2)).
     dynamic_bfs_iters: int = 0
     # Pallas replan-kernel variant: 'int32' (min-plus distance field) or
-    # 'bitpack32' (1-bit wavefront, 32 cells/lane + query rotation —
+    # 'bitpack32' (1-bit wavefront, 32 cells/lane + per-row probe masks —
     # ops/bfs_bitpack.py; bit-identical results on chip: 0/1120 mismatches,
     # 4.2x faster at the bench operating point — experiments/
     # bitpack_onchip.py). 'auto' picks bitpack32 when the walled width
@@ -85,6 +85,13 @@ class EnvConfig:
     # overflow beyond the budget is counted in info['replan_overflow'].
     # 1.0 disables compaction.
     replan_row_frac: float = 0.43
+    # Deadlock-break (no reference counterpart; the reference's stuck rules
+    # deadlock on no-detour geometry, e.g. the tiny-map mutual picker
+    # blockade — tests/test_golden_behavior.py). 0 = reference semantics.
+    # N > 0: after a hard stuck abandon the agent spends N steps taking
+    # random highway-legal micro moves (flowing through the normal
+    # conflict-resolution rules), shaking blocking geometry loose.
+    deadlock_break: int = 0
 
     @property
     def num_agents(self) -> int:

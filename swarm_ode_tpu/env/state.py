@@ -58,6 +58,7 @@ class EnvParams:
     bfs_backend: str = static()  # 'pallas' (VMEM-resident kernel) | 'xla'
     bfs_kernel: str = static()  # 'int32' | 'bitpack32' pallas variant
     replan_row_frac: float = static()  # batched-replan compaction budget
+    deadlock_break: int = static()  # escape steps after hard abandon; 0 = off
     # --- arrays ---
     agent_type: jnp.ndarray  # (A,) int32 AgentType
     highway: jnp.ndarray  # (H, W) bool
@@ -98,6 +99,7 @@ class EnvState:
     agent_req_action: jnp.ndarray  # (A,) int32 — last attributed micro action
     stuck_count: jnp.ndarray  # (A,) int32
     stuck_xy: jnp.ndarray  # (A, 2) int32
+    agent_break: jnp.ndarray  # (A,) int32 deadlock-escape steps remaining
     shelf_xy: jnp.ndarray  # (S, 2) int32 — position when not carried
     request_queue: jnp.ndarray  # (R,) int32 shelf ids (1-based)
     cur_steps: jnp.ndarray  # () int32
@@ -164,6 +166,7 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
             else config.bfs_kernel
         ),
         replan_row_frac=config.replan_row_frac,
+        deadlock_break=config.deadlock_break,
         agent_type=jnp.asarray(agent_type),
         highway=jnp.asarray(lay.highway),
         is_goal=jnp.asarray(lay.is_goal_grid),

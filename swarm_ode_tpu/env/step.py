@@ -192,6 +192,7 @@ def reset(params: EnvParams, key: jnp.ndarray) -> EnvState:
         agent_req_action=jnp.full(A, Action.NOOP, jnp.int32),
         stuck_count=jnp.zeros(A, jnp.int32),
         stuck_xy=agent_xy,
+        agent_break=jnp.zeros(A, jnp.int32),
         shelf_xy=shelf_xy,
         request_queue=request_queue,
         cur_steps=jnp.int32(0),
@@ -374,6 +375,30 @@ def step(
     stuck_count = jnp.where(reset_stuck, 0, state.stuck_count)
     stuck_xy = jnp.where(reset_stuck[:, None], xy, state.stuck_xy)
 
+    # ---------------- Phase 1c: deadlock-break escape (option) --------------
+    # No reference counterpart (flag off = byte-identical trace): agents
+    # with escape steps remaining override their request with a random
+    # highway-legal micro move. The override is injected BEFORE Phase 2 so
+    # escapes obey the normal conflict rules — no teleports, no overlap.
+    agent_break = state.agent_break
+    step_key = state.key
+    if params.deadlock_break:
+        kb, step_key = jax.random.split(state.key)
+        esc = agent_break > 0
+        ef_x = x + _DIR_DX[state.agent_dir]
+        ef_y = y + _DIR_DY[state.agent_dir]
+        inb = (ef_x >= 0) & (ef_x < W) & (ef_y >= 0) & (ef_y < H)
+        fwd_hw = inb & grid_at(
+            params.highway, jnp.clip(ef_y, 0, H - 1), jnp.clip(ef_x, 0, W - 1)
+        )
+        r = jax.random.randint(kb, (A,), 0, 4)
+        esc_req = jnp.where(
+            (r <= 1) & fwd_hw, Action.FORWARD,
+            jnp.where(r == 2, Action.LEFT, Action.RIGHT),
+        )
+        req = jnp.where(esc, esc_req, req)
+        agent_break = jnp.where(esc, agent_break - 1, agent_break)
+
     # ---------------- Phase 2: move-conflict resolution ---------------------
     dx = _DIR_DX[state.agent_dir]
     dy = _DIR_DY[state.agent_dir]
@@ -466,6 +491,15 @@ def step(
     stuck_count = jnp.where(c2, 0, stuck_count)
     stuck_xy = jnp.where(c2[:, None], xy, stuck_xy)
     stucks = jnp.sum(c1_abandon) + jnp.sum(c2)
+    if params.deadlock_break:
+        # Arm the escape on hard abandon AND on "replanned but no detour
+        # exists" (dyn distance INF) — the mutual-blockade geometry cycles
+        # through c1-replan forever (stuck_count resets each c1), so c2
+        # alone would never fire there.
+        no_detour = c1_replan & (dyn_dist_at >= INF32)
+        agent_break = jnp.where(
+            c2 | no_detour, params.deadlock_break, agent_break
+        )
 
     # ---------------- Phase 4: execute micro actions (warehouse.py:521-590) -
     rewards = jnp.full(A, -STEP_PENALTY, jnp.float32)
@@ -603,7 +637,7 @@ def step(
     (rewards, request_queue, has_delivered, key, shelf_deliveries, _), _ = (
         jax.lax.scan(
             deliver_one,
-            (rewards, state.request_queue, has_delivered, state.key,
+            (rewards, state.request_queue, has_delivered, step_key,
              jnp.int32(0), in_queue0),
             (goal_shelf, goal_agent),
         )
@@ -632,6 +666,7 @@ def step(
         agent_req_action=req,
         stuck_count=stuck_count,
         stuck_xy=stuck_xy,
+        agent_break=agent_break,
         shelf_xy=shelf_xy,
         request_queue=request_queue,
         cur_steps=cur_steps,

@@ -19,8 +19,13 @@ from swarm_ode_tpu.env.state import make_params
 from swarm_ode_tpu.policies import heuristic as H
 
 
-def run_episode_stats(seed: int):
-    cfg = EnvConfig.from_env_id("tarware-tiny-3agvs-2pickers-partialobs-v1")
+def run_episode_stats(seed: int, deadlock_break: int = 0):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        EnvConfig.from_env_id("tarware-tiny-3agvs-2pickers-partialobs-v1"),
+        deadlock_break=deadlock_break,
+    )
     lay = build_layout(cfg)
     params = make_params(cfg, lay)
     policy = H.make_policy(params, lay)
@@ -65,3 +70,20 @@ def test_tiny_heuristic_stats_in_recorded_range():
             - 0.001 * 500 * 5,
             abs=s["deliveries"] * 0.6 + 3.0,
         )
+
+
+def test_tiny_seed2_blockade_and_deadlock_break():
+    """Tiny seed 2's mutual picker blockade: each picker parks on the single
+    highway cell giving access to the other's target rack, so no detour
+    exists. With reference semantics (deadlock_break=0) the episode wedges
+    — 0 deliveries, clashes accumulating every step. The TPU-rebuild
+    deadlock_break option (EnvConfig.deadlock_break=N escape steps after a
+    no-detour replan / hard abandon) shakes the geometry loose while still
+    routing escape moves through the Phase-2 conflict rules."""
+    wedged = run_episode_stats(2)
+    assert wedged["deliveries"] == 0
+    assert wedged["clashes"] > 500  # the wedge clashes nearly every step
+
+    broken = run_episode_stats(2, deadlock_break=8)
+    assert broken["deliveries"] >= 8
+    assert broken["clashes"] < wedged["clashes"] / 4

@@ -61,3 +61,17 @@ stage G_coma32 python3 experiments/medium_coma_curve.py \
   --eval_every 250 --eval_episodes 8 --tag envs32
 
 echo "=== $(date -u +%H:%M:%S) queue done" >> /tmp/r3_queue.log
+
+# H: extralarge lever sweep + fresh medium profile + headline bench
+# (VERDICT item 5 + perf bookkeeping).
+stage H_xl_sweep python3 experiments/xl_sweep.py
+stage H_profile python3 experiments/profile_step.py
+stage H_profile_xl python3 experiments/profile_step.py \
+  --env_id tarware-extralarge-19agvs-9pickers-partialobs-v1 --batch 512
+stage H_bench python3 bench.py --verbose
+echo "=== $(date -u +%H:%M:%S) queue done (incl H)" >> /tmp/r3_queue.log
+
+# A2 (safety net, runs after H): full metric suite for the cut-early h4
+# checkpoint — the driver only writes result.json on a complete run.
+stage A2_gde_h4_metrics python3 experiments/gde_eval_ckpt.py
+echo "=== $(date -u +%H:%M:%S) queue done (incl A2)" >> /tmp/r3_queue.log

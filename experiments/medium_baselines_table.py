@@ -63,7 +63,12 @@ print(f"windows: {len(ds)} from {len(files)} files", flush=True)
 OUT.mkdir(parents=True, exist_ok=True)
 
 eval_idx = range(0, len(ds), max(1, len(ds) // 4000))
+# Merge into any existing results so a partial retrain (--models subset)
+# keeps the other models' committed rows.
 rows = {}
+if (OUT / "results.json").exists():
+    rows = json.loads((OUT / "results.json").read_text())
+    rows.pop("gde", None)  # re-read fresh below
 for name in args.models:
     cfg = BaselineTrainConfig(
         model=name, num_epochs=args.epochs, hidden_dim=args.hidden_dim,

@@ -33,6 +33,8 @@ p.add_argument("--eval_every", type=int, default=0,
                help="greedy epsilon=0 probe cadence (0 = off)")
 p.add_argument("--eval_episodes", type=int, default=8)
 p.add_argument("--resume_from", default=None)
+p.add_argument("--epsilon_min", type=float, default=None,
+               help="exploration floor override (None = recipe's 0.1)")
 p.add_argument("--net", default="gnode")
 p.add_argument("--tag", default="", help="suffix for the output dir")
 p.add_argument("--out_dir", default=None,
@@ -77,6 +79,7 @@ cfg = RLRunConfig(
     huber_delta=1.0,
     target_tau=5e-3,
     epsilon_decay=0.99995,
+    epsilon_min=args.epsilon_min,
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=500,
     eval_every=args.eval_every,

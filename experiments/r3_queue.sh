@@ -25,9 +25,13 @@ stage A_gde_h4_eval python3 experiments/gde_multistep.py \
   --run_dir /root/repo/runs/gde_medium_ref_h4
 
 # B: QMIX 20k -> 30k resume with greedy eval probes (VERDICT item 3).
+# The continuation anneals exploration further (floor 0.1 -> 0.05): at 28
+# agents a 10% random-action rate keeps corridors perpetually disrupted,
+# and the 15k-20k slope was flat (-0.19/1k) with TD loss pinned at 1e-4.
 stage B_qmix_30k python3 experiments/medium_qmix_5k.py \
   --num_episodes 10000 \
   --resume_from /root/repo/runs/qmix_medium_5k_v2_20k/ckpt \
+  --epsilon_min 0.05 \
   --eval_every 250 --eval_episodes 8 --tag v2_30k
 
 # C: retrain the three multistep-table baselines with param saving, then

@@ -71,6 +71,10 @@ class RLRunConfig:
     huber_delta: float = 0.0
     target_tau: float = 0.0
     epsilon_decay: Optional[float] = None  # None = per-algo default
+    # Exploration floor. The reference holds QMIX at 0.1; with 28 agents a
+    # 10% per-agent random-action rate keeps corridors perpetually
+    # disrupted, so the trained-policy pick rate reads far below greedy.
+    epsilon_min: Optional[float] = None  # None = per-algo default
     # COMA is on-policy: its updates sample only the freshest episode
     # stride (replay.sample_recent) instead of the whole buffer, this many
     # minibatches per stride. The reference sampled the full deque
@@ -203,6 +207,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             dqn_cfg.gamma = cfg.gamma
         if cfg.epsilon_decay is not None:
             dqn_cfg.epsilon_decay = cfg.epsilon_decay
+        if cfg.epsilon_min is not None:
+            dqn_cfg.epsilon_min = cfg.epsilon_min
         agent = IQLAgent(net, params, dqn_cfg)
     elif cfg.algo == "qmix":
         qmix_cfg = QMIXConfig(batch_size=cfg.batch_size,
@@ -214,6 +220,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             qmix_cfg.gamma = cfg.gamma
         if cfg.epsilon_decay is not None:
             qmix_cfg.epsilon_decay = cfg.epsilon_decay
+        if cfg.epsilon_min is not None:
+            qmix_cfg.epsilon_min = cfg.epsilon_min
         agent = QMIXAgent(net, params, gs_dim, qmix_cfg)
     elif cfg.algo == "coma":
         encoder = HeteroGNNEncoder(cfg.hidden_dim, 2, coord_scale=gs_scale)

@@ -28,9 +28,9 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--env",
                 default="tarware-extralarge-19agvs-9pickers-partialobs-v1")
 ap.add_argument("--batches", type=int, nargs="*", default=[512, 1024])
-ap.add_argument("--iters", type=int, nargs="*", default=[0, 40, 64],
+ap.add_argument("--iters", type=int, nargs="*", default=[0, 40],
                 help="dynamic_bfs_iters overrides (0 = auto default)")
-ap.add_argument("--kernels", nargs="*", default=["bitpack32", "int32"])
+ap.add_argument("--kernels", nargs="*", default=["bitpack32"])
 ap.add_argument("--steps", type=int, default=100)
 ap.add_argument("--cpu", action="store_true")
 args = ap.parse_args()

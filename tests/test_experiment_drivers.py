@@ -89,6 +89,25 @@ def test_baselines_table_then_multistep(tmp_path):
     assert all("persistence_mean_error" in h for h in ms.values())
 
 
+def test_coma_driver_smoke(tmp_path):
+    """The COMA driver runs end-to-end with the sweep knobs + greedy probe."""
+    out = tmp_path / "coma"
+    _run(
+        "medium_coma_curve.py",
+        "--env_id", "tarware-tiny-3agvs-2pickers-partialobs-v1",
+        "--num_episodes", "2", "--num_envs", "2",
+        "--entropy_decay", "0.999", "--lr_critic", "2e-3",
+        "--eval_every", "1", "--eval_episodes", "1", "--out_dir", str(out),
+        timeout=1800,  # counterfactual-sweep compile is slow on 1 vCPU
+    )
+    rows = [
+        json.loads(l)
+        for l in (out / "coma_medium.jsonl").read_text().splitlines()
+    ]
+    assert rows and "pick_rate" in rows[0]
+    assert any("eval_pick_rate" in r for r in rows), "greedy probe missing"
+
+
 def test_qmix_driver_smoke(tmp_path):
     """The v2 QMIX recipe driver runs end-to-end with a greedy eval probe."""
     out = tmp_path / "qmix"

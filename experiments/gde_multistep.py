@@ -14,17 +14,7 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-
-from swarm_ode_tpu.data.dataset import TrajectoryDataset
-from swarm_ode_tpu.graphs.temporal import (
-    TemporalWindow,
-    build_temporal_batch,
-    build_temporal_graph,
-)
-from swarm_ode_tpu.models.gde import GraphODE
-from swarm_ode_tpu.utils.checkpoint import CheckpointManager
 
 import argparse
 
@@ -42,7 +32,20 @@ ap.add_argument("--env",
                 default="tarware-medium-19agvs-9pickers-partialobs-v1")
 args = ap.parse_args()
 if args.cpu:
+    # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
+    # constants at import, which initializes the default (axon) backend.
     jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from swarm_ode_tpu.data.dataset import TrajectoryDataset  # noqa: E402
+from swarm_ode_tpu.graphs.temporal import (  # noqa: E402
+    TemporalWindow,
+    build_temporal_batch,
+    build_temporal_graph,
+)
+from swarm_ode_tpu.models.gde import GraphODE  # noqa: E402
+from swarm_ode_tpu.utils.checkpoint import CheckpointManager  # noqa: E402
 
 ENV = args.env
 DATA = pathlib.Path("/root/repo/datasets")

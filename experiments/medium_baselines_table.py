@@ -15,12 +15,6 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-from swarm_ode_tpu import analysis
-from swarm_ode_tpu.data.dataset import TrajectoryDataset
-from swarm_ode_tpu.train.train_baselines import (
-    BaselineTrainConfig,
-    train_baseline,
-)
 
 DATA = pathlib.Path("/root/repo/datasets")
 
@@ -44,9 +38,18 @@ p.add_argument("--cpu", action="store_true",
                help="force the CPU backend (smoke tests)")
 args = p.parse_args()
 if args.cpu:
+    # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
+    # constants at import, which initializes the default (axon) backend.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+from swarm_ode_tpu import analysis  # noqa: E402
+from swarm_ode_tpu.data.dataset import TrajectoryDataset  # noqa: E402
+from swarm_ode_tpu.train.train_baselines import (  # noqa: E402
+    BaselineTrainConfig,
+    train_baseline,
+)
 
 ENV = args.env
 SEEDS = [0, 1000, 2000, 3000, 4000]

@@ -11,9 +11,6 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-from swarm_ode_tpu.train.run_rl import RLRunConfig, run_marl
-from swarm_ode_tpu.utils.logging import MetricsLogger
-
 OUT = pathlib.Path("/root/repo/runs/coma_medium")
 
 p = argparse.ArgumentParser()
@@ -33,9 +30,15 @@ p.add_argument("--out_dir", default=None)
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 if args.cpu:
+    # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
+    # constants at import, which initializes the default (axon) backend.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+from swarm_ode_tpu.train.run_rl import RLRunConfig, run_marl  # noqa: E402
+from swarm_ode_tpu.utils.logging import MetricsLogger  # noqa: E402
+
 if args.tag:
     OUT = pathlib.Path(str(OUT) + "_" + args.tag)
 if args.out_dir:

@@ -20,10 +20,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from swarm_ode_tpu.data.dataset import TrajectoryDataset
-from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
-from swarm_ode_tpu import analysis
-
 SEEDS = [0, 1000, 2000, 3000, 4000]
 DATA = pathlib.Path("/root/repo/datasets")
 
@@ -43,9 +39,16 @@ p.add_argument("--cpu", action="store_true",
 p.add_argument("--env", default="tarware-medium-19agvs-9pickers-partialobs-v1")
 args = p.parse_args()
 if args.cpu:
+    # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
+    # constants at import, which initializes the default (axon) backend.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+from swarm_ode_tpu.data.dataset import TrajectoryDataset  # noqa: E402
+from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde  # noqa: E402
+from swarm_ode_tpu import analysis  # noqa: E402
+
 ENV = args.env
 OUT = pathlib.Path("/root/repo/runs/gde_" + ENV.split("-")[1] + "_ref")
 if args.tag:

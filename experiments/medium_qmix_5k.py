@@ -12,11 +12,7 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-from swarm_ode_tpu.train.run_rl import RLRunConfig, run_marl
-from swarm_ode_tpu.utils.logging import MetricsLogger
-
 OUT = pathlib.Path("/root/repo/runs/qmix_medium_5k")
-OUT.mkdir(parents=True, exist_ok=True)
 
 p = argparse.ArgumentParser()
 p.add_argument("--num_episodes", type=int, default=5000)
@@ -44,9 +40,14 @@ p.add_argument("--cpu", action="store_true",
 args = p.parse_args()
 
 if args.cpu:
+    # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
+    # constants at import, which initializes the default (axon) backend.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+from swarm_ode_tpu.train.run_rl import RLRunConfig, run_marl  # noqa: E402
+from swarm_ode_tpu.utils.logging import MetricsLogger  # noqa: E402
 
 if args.tag:
     OUT = pathlib.Path(str(OUT) + "_" + args.tag)

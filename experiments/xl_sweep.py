@@ -15,14 +15,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-
-from swarm_ode_tpu.config import EnvConfig
-from swarm_ode_tpu.env import step as step_mod
-from swarm_ode_tpu.env.layout import build_layout
-from swarm_ode_tpu.env.state import make_params
-from swarm_ode_tpu.policies import heuristic as H
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--env",
@@ -35,7 +28,15 @@ ap.add_argument("--steps", type=int, default=100)
 ap.add_argument("--cpu", action="store_true")
 args = ap.parse_args()
 if args.cpu:
+    # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
+    # constants at import, which initializes the default (axon) backend.
     jax.config.update("jax_platforms", "cpu")
+
+from swarm_ode_tpu.config import EnvConfig  # noqa: E402
+from swarm_ode_tpu.env import step as step_mod  # noqa: E402
+from swarm_ode_tpu.env.layout import build_layout  # noqa: E402
+from swarm_ode_tpu.env.state import make_params  # noqa: E402
+from swarm_ode_tpu.policies import heuristic as H  # noqa: E402
 
 for B, iters, kernel in itertools.product(
     args.batches, args.iters, args.kernels

@@ -159,3 +159,34 @@ def test_bitpack_through_compaction_path():
             )
         for a, b in zip(outs["int32"], outs["bitpack32"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bitpack_matches_int32_extralarge_width():
+    """Ws = W+1 = 31 — the widest shipped geometry (extralarge 45x30) and
+    the last value before the _plan() guard rejects. The cross-word carry
+    shifts by 31/1 bits here, the extreme of the single-word-crossing
+    assumption, so this width gets its own parity case (ADVICE r2: Ws>=32
+    silently mis-pathfinds; 31 must stay exact)."""
+    H, W = 12, 30  # full extralarge height is slow in interpret mode
+    Ws = W + 1
+    n = H * Ws
+    rng = np.random.RandomState(7)
+    K = 24
+    pas2d = rng.rand(K, H, W) > 0.25
+    pas = jnp.asarray(np.pad(pas2d, [(0, 0), (0, 0), (0, 1)]).reshape(K, n))
+    ty, tx = rng.randint(0, H, K), rng.randint(0, W, K)
+    py, px = rng.randint(0, H, K), rng.randint(0, W, K)
+    tgt = jnp.asarray(ty * Ws + tx, jnp.int32)
+    pos = jnp.asarray(py * Ws + px, jnp.int32)
+    col = np.arange(n)[None, :]
+    pasf = jnp.asarray(
+        np.asarray(pas)
+        | (col == np.asarray(tgt)[:, None])
+        | (col == np.asarray(pos)[:, None])
+    )
+    iters = 30
+    d_ref, nd_ref = _ref_query(pasf, tgt, pos, H, W, iters)
+    d_bp, nd_bp = bitpack_query_call(pasf, tgt, pos, H, W, iters,
+                                     rows_per_block=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_bp))
+    np.testing.assert_array_equal(np.asarray(nd_ref), np.asarray(nd_bp))

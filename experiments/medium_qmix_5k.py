@@ -33,6 +33,10 @@ p.add_argument("--epsilon_min", type=float, default=None,
                help="exploration floor override (None = recipe's 0.1)")
 p.add_argument("--net", default="gnode")
 p.add_argument("--tag", default="", help="suffix for the output dir")
+p.add_argument("--coordinated", action="store_true",
+               help="claim-auction action selection + coordinated TD "
+                    "target (rl/coordination.py) — the round-3 plateau "
+                    "analysis' structural lever")
 p.add_argument("--out_dir", default=None,
                help="output dir override (for smoke tests)")
 p.add_argument("--cpu", action="store_true",
@@ -86,6 +90,7 @@ cfg = RLRunConfig(
     eval_every=args.eval_every,
     eval_episodes=args.eval_episodes,
     resume_from=args.resume_from,
+    coordinated=args.coordinated,
 )
 logger = MetricsLogger(project="swarm_ode_tpu", name="qmix_medium_5k",
                        out_dir=str(OUT), use_wandb=False)

@@ -41,6 +41,10 @@ p.add_argument("--eval_every", type=int, default=0,
 p.add_argument("--eval_episodes", type=int, default=8)
 p.add_argument("--resume_from", default=None,
                help="checkpoint dir to resume agent state from")
+p.add_argument("--coordinated", action="store_true",
+               help="conflict-masked sequential action selection "
+                    "(rl/coordination.py): no two idle same-type agents "
+                    "double-book a rack in one macro step")
 
 if __name__ == "__main__":
     args = p.parse_args()
@@ -67,6 +71,7 @@ if __name__ == "__main__":
         eval_every=args.eval_every,
         eval_episodes=args.eval_episodes,
         resume_from=args.resume_from,
+        coordinated=args.coordinated,
     )
     logger = MetricsLogger("swarm_ode", name=f"{args.net}+{args.algo}",
                            config=vars(args), out_dir="runs")

@@ -101,9 +101,18 @@ class COMAAgent:
         lp = self.picker_actor.apply(actor_params["picker"], h_pick)
         return jnp.concatenate([la, lp], axis=0)  # (A_total, act)
 
-    def act(self, state: COMAState, graph, masks, key, training=True):
+    def act(self, state: COMAState, graph, masks, key, training=True,
+            active=None):
         """Sample (training) or argmax (eval) from the masked policy
-        (reference gru.py:420-430)."""
+        (reference gru.py:420-430).
+
+        `active` is accepted for call-site uniformity with the value-based
+        agents but ignored: COMA is on-policy, and the actor update
+        (actor_loss_fn) scores actions under the independent masked
+        categorical — coordinated (claim-masked sequential) sampling would
+        make the behavior distribution disagree with the one being
+        differentiated. rl/coordination.coordinated_sample exists for
+        off-policy/eval use."""
         logits = self._logits(state.actor_params, graph)
         logits = jnp.where(masks > 0, logits, -1e9)
         sampled = jax.random.categorical(key, logits, axis=-1)

@@ -22,6 +22,7 @@ from swarm_ode_tpu.graphs.hetero import (
     masks_from_feats,
 )
 from swarm_ode_tpu.env.state import EnvParams
+from swarm_ode_tpu.rl import coordination
 
 
 @dataclasses.dataclass
@@ -33,6 +34,11 @@ class DQNConfig:
     epsilon_min: float = 0.01
     grad_clip: float = 1.0
     batch_size: int = 32
+    # Conflict-masked sequential action selection (rl/coordination.py)
+    # for the behavior policy only: IQL's per-agent TD target is an
+    # independent max by definition (independent learners), so only
+    # act() coordinates; the critic keeps the standard IQL semantics.
+    coordinated: bool = False
 
 
 @struct.dataclass
@@ -83,9 +89,16 @@ class IQLAgent:
         )
 
     def act(self, state: DQNState, graph: HeteroGraph, masks: jnp.ndarray,
-            key, training: bool = True, extras=None) -> jnp.ndarray:
+            key, training: bool = True, extras=None,
+            active=None) -> jnp.ndarray:
         """Masked epsilon-greedy (reference run_gnode.py:572-612)."""
         q = self.q_values(state.params, graph, extras)
+        if self.cfg.coordinated:
+            return coordination.coordinated_epsilon_greedy(
+                q, masks, self.env_params.num_agvs,
+                1 + self.env_params.num_goals, state.epsilon, key,
+                active=active, training=training,
+            )
         masked_q = jnp.where(masks > 0, q, -jnp.inf)
         greedy = jnp.argmax(masked_q, axis=-1)
         k1, k2 = jax.random.split(key)

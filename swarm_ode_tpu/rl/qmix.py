@@ -22,6 +22,7 @@ from swarm_ode_tpu.graphs.hetero import (
     masks_from_feats,
 )
 from swarm_ode_tpu.models.qmix import HeteroQMIXMixer
+from swarm_ode_tpu.rl import coordination
 
 
 @dataclasses.dataclass
@@ -54,6 +55,13 @@ class QMIXConfig:
     # Huber loss on the TD error (0 = plain MSE). Caps the per-sample
     # gradient scale so one outlier target can't swing the whole batch.
     huber_delta: float = 0.0
+    # Conflict-masked sequential action selection (rl/coordination.py):
+    # idle agents claim rack targets in confidence order so no two
+    # same-type agents double-book a shelf in the same macro step — the
+    # round-3 plateau analysis' structural lever. Applies to both the
+    # behavior policy (act) and the TD-target argmax (learn), so the
+    # bootstrap evaluates the joint policy actually executed.
+    coordinated: bool = False
 
 
 _H_EPS = 1e-2
@@ -120,8 +128,15 @@ class QMIXAgent:
             [out["agv_q_values"], out["picker_q_values"]], axis=0
         )
 
-    def act(self, state: QMIXState, graph, masks, key, training=True):
+    def act(self, state: QMIXState, graph, masks, key, training=True,
+            active=None):
         q = self.q_values(state.params["q"], graph)
+        if self.cfg.coordinated:
+            return coordination.coordinated_epsilon_greedy(
+                q, masks, self.env_params.num_agvs,
+                1 + self.env_params.num_goals, state.epsilon, key,
+                active=active, training=training,
+            )
         masked_q = jnp.where(masks > 0, q, -jnp.inf)
         greedy = jnp.argmax(masked_q, axis=-1)
         k1, k2 = jax.random.split(key)
@@ -166,7 +181,21 @@ class QMIXAgent:
                 q_online = jnp.where(
                     masks > 0, self.q_values(params["q"], g), -1e9
                 )
-                a_star = jnp.argmax(q_online, axis=-1)
+                if cfg.coordinated:
+                    # Same claim auction as act(): busy agents (targets
+                    # reconstructed from the stored features) select but
+                    # never claim, so the target max ranges over the
+                    # conflict-constrained joint actions the behavior
+                    # policy can actually take.
+                    a_star = coordination.coordinated_argmax(
+                        q_online, masks, self.env_params.num_agvs,
+                        1 + self.env_params.num_goals,
+                        active=~coordination.busy_from_feats(
+                            feats["agv"], feats["picker"]
+                        ),
+                    )
+                else:
+                    a_star = jnp.argmax(q_online, axis=-1)
                 q_tgt = self.q_values(state.target_params["q"], g)
                 return jnp.take_along_axis(
                     q_tgt, a_star[:, None], -1

@@ -101,6 +101,13 @@ class RLRunConfig:
     # run's checkpoint dir. The reference has no resume anywhere
     # (SURVEY.md §5 checkpoint row).
     resume_from: Optional[str] = None
+    # Conflict-masked sequential action selection (rl/coordination.py):
+    # idle agents claim rack targets in confidence order so no two
+    # same-type agents double-book a shelf in one macro step — the
+    # structural lever from the round-3 QMIX plateau analysis
+    # (RESULTS.md). Applies to IQL/QMIX behavior and the QMIX TD-target
+    # argmax; COMA ignores it (on-policy — see rl/coma.py act).
+    coordinated: bool = False
 
 
 def _make_network(cfg: RLRunConfig, action_size: int, num_agvs: int = 0,
@@ -202,7 +209,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
         # The reference pairs the GRU net with IQL only (gru.py:1035-1275).
         raise ValueError("net='gru' currently supports algo='iql'")
     if cfg.algo == "iql":
-        dqn_cfg = DQNConfig(batch_size=cfg.batch_size)
+        dqn_cfg = DQNConfig(batch_size=cfg.batch_size,
+                            coordinated=cfg.coordinated)
         if cfg.gamma is not None:
             dqn_cfg.gamma = cfg.gamma
         if cfg.epsilon_decay is not None:
@@ -215,7 +223,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                               value_transform=cfg.value_transform,
                               td_clip=cfg.td_clip,
                               huber_delta=cfg.huber_delta,
-                              target_tau=cfg.target_tau)
+                              target_tau=cfg.target_tau,
+                              coordinated=cfg.coordinated)
         if cfg.gamma is not None:
             qmix_cfg.gamma = cfg.gamma
         if cfg.epsilon_decay is not None:
@@ -338,10 +347,12 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             if is_gru:
                 out = net.apply(_agent_params(astate), g, *hidden)
                 new_hidden = (out["agv_hidden"], out["picker_hidden"])
-                actions = agent.act(astate, g, masks, ka, extras=hidden)
+                actions = agent.act(astate, g, masks, ka, extras=hidden,
+                                    active=~es.agent_busy)
             else:
                 new_hidden = hidden
-                actions = agent.act(astate, g, masks, ka)
+                actions = agent.act(astate, g, masks, ka,
+                                    active=~es.agent_busy)
             es2, rew, done, info = step_mod.step(params, es, actions)
             obs2 = observations.observe(params, es2)
             feats2 = _feats(params, obs2)
@@ -436,10 +447,11 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
                 out = net.apply(_agent_params(astate), g, *hidden)
                 new_hidden = (out["agv_hidden"], out["picker_hidden"])
                 actions = agent.act(astate, g, masks, ka, training=False,
-                                    extras=hidden)
+                                    extras=hidden, active=~es.agent_busy)
             else:
                 new_hidden = hidden
-                actions = agent.act(astate, g, masks, ka, training=False)
+                actions = agent.act(astate, g, masks, ka, training=False,
+                                    active=~es.agent_busy)
             es2, rew, done, info = step_mod.step(params, es, actions)
             obs2 = observations.observe(params, es2)
             return es2, obs2, new_hidden, rew, info
@@ -473,6 +485,29 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             body, (es, obs, key, hidden0), None, length=steps
         )
         return rews.sum() / E, delivs.sum() / E
+
+    if cfg.num_episodes == 0:
+        # Evaluation-only mode: one greedy probe (eval_episodes fresh
+        # envs, epsilon=0, no learning) on the restored-or-fresh agent.
+        # Measures policy operators — e.g. coordinated action selection
+        # (rl/coordination.py) — on trained checkpoints without touching
+        # the parameters.
+        key, ke = jax.random.split(key)
+        er, ed = jax.tree.map(np.asarray, eval_probe(astate, ke))
+        stats = {
+            "episode": ep_base,
+            "eval_return": float(er),
+            "eval_deliveries": float(ed),
+            "eval_pick_rate": pick_rate(float(ed), steps),
+        }
+        if verbose:
+            print(
+                f"[eval-only eps=0] pick_rate={stats['eval_pick_rate']:.2f}"
+                f" deliveries={ed:.1f} return={er:.2f}"
+                f" ({E} greedy episodes)",
+                flush=True,
+            )
+        return {"agent_state": astate, "history": [stats]}
 
     history = []
     ckpt = None

@@ -29,10 +29,17 @@ p.add_argument("--eval_every", type=int, default=0,
                help="greedy epsilon=0 probe cadence (0 = off)")
 p.add_argument("--eval_episodes", type=int, default=8)
 p.add_argument("--resume_from", default=None)
+p.add_argument("--epsilon_start", type=float, default=None,
+               help="initial exploration rate (use ~0.1 with "
+                    "--init_q_from so exploration doesn't erase the "
+                    "cloned behavior)")
 p.add_argument("--epsilon_min", type=float, default=None,
                help="exploration floor override (None = recipe's 0.1)")
 p.add_argument("--net", default="gnode")
 p.add_argument("--tag", default="", help="suffix for the output dir")
+p.add_argument("--init_q_from", default=None,
+               help="warm-start the Q-network from a BC checkpoint dir "
+                    "(train/train_bc.py q_params)")
 p.add_argument("--coordinated", action="store_true",
                help="claim-auction action selection + coordinated TD "
                     "target (rl/coordination.py) — the round-3 plateau "
@@ -85,12 +92,14 @@ cfg = RLRunConfig(
     target_tau=5e-3,
     epsilon_decay=0.99995,
     epsilon_min=args.epsilon_min,
+    epsilon_start=args.epsilon_start,
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=500,
     eval_every=args.eval_every,
     eval_episodes=args.eval_episodes,
     resume_from=args.resume_from,
     coordinated=args.coordinated,
+    init_q_from=args.init_q_from,
 )
 logger = MetricsLogger(project="swarm_ode_tpu", name="qmix_medium_5k",
                        out_dir=str(OUT), use_wandb=False)

@@ -75,6 +75,11 @@ class RLRunConfig:
     # 10% per-agent random-action rate keeps corridors perpetually
     # disrupted, so the trained-policy pick rate reads far below greedy.
     epsilon_min: Optional[float] = None  # None = per-algo default
+    # Initial exploration rate (None = per-algo default, 1.0). Set low
+    # (e.g. 0.1) when warm-starting from cloned parameters (init_q_from):
+    # full random exploration would erase the demonstrated behavior from
+    # the replay stream before TD learning can evaluate it.
+    epsilon_start: Optional[float] = None
     # COMA is on-policy: its updates sample only the freshest episode
     # stride (replay.sample_recent) instead of the whole buffer, this many
     # minibatches per stride. The reference sampled the full deque
@@ -101,6 +106,11 @@ class RLRunConfig:
     # run's checkpoint dir. The reference has no resume anywhere
     # (SURVEY.md §5 checkpoint row).
     resume_from: Optional[str] = None
+    # Warm-start the Q-network from behavior-cloned parameters
+    # (train/train_bc.py checkpoints {'q_params': ...}) — RL from
+    # demonstrations. The BC net must match net/hidden_dim. Applied at
+    # init, before resume_from; QMIX/IQL only.
+    init_q_from: Optional[str] = None
     # Conflict-masked sequential action selection (rl/coordination.py):
     # idle agents claim rack targets in confidence order so no two
     # same-type agents double-book a shelf in one macro step — the
@@ -217,6 +227,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             dqn_cfg.epsilon_decay = cfg.epsilon_decay
         if cfg.epsilon_min is not None:
             dqn_cfg.epsilon_min = cfg.epsilon_min
+        if cfg.epsilon_start is not None:
+            dqn_cfg.epsilon_start = cfg.epsilon_start
         agent = IQLAgent(net, params, dqn_cfg)
     elif cfg.algo == "qmix":
         qmix_cfg = QMIXConfig(batch_size=cfg.batch_size,
@@ -231,6 +243,8 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             qmix_cfg.epsilon_decay = cfg.epsilon_decay
         if cfg.epsilon_min is not None:
             qmix_cfg.epsilon_min = cfg.epsilon_min
+        if cfg.epsilon_start is not None:
+            qmix_cfg.epsilon_start = cfg.epsilon_start
         agent = QMIXAgent(net, params, gs_dim, qmix_cfg)
     elif cfg.algo == "coma":
         encoder = HeteroGNNEncoder(cfg.hidden_dim, 2, coord_scale=gs_scale)
@@ -249,6 +263,31 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
 
     key, ki = jax.random.split(key)
     astate = agent.init(ki, g0)
+
+    if cfg.init_q_from:
+        from swarm_ode_tpu.utils.checkpoint import CheckpointManager
+
+        if cfg.algo not in ("iql", "qmix"):
+            raise ValueError("init_q_from supports algo in (iql, qmix)")
+        bck = CheckpointManager(cfg.init_q_from)
+        q_template = (
+            astate.params["q"] if cfg.algo == "qmix" else astate.params
+        )
+        restored = bck.restore(
+            {"q_params": jax.tree.map(np.asarray, q_template)}
+        )
+        if restored is None:
+            raise FileNotFoundError(
+                f"init_q_from={cfg.init_q_from}: no checkpoint found"
+            )
+        qp = jax.tree.map(jnp.asarray, restored["q_params"])
+        new_params = (
+            {**astate.params, "q": qp} if cfg.algo == "qmix" else qp
+        )
+        astate = astate.replace(params=new_params, target_params=new_params)
+        if verbose:
+            print(f"[init] Q-network warm-started from {cfg.init_q_from}",
+                  flush=True)
 
     ep_base = 0  # episode-number offset when resuming a previous run
     if cfg.resume_from:

@@ -1,0 +1,317 @@
+"""Behavior cloning from logged dispatcher decisions (beyond-reference).
+
+The collected datasets (data/collect.py, reference collect_data.py
+schema) log, per step, the full observation array, every agent's macro
+action, and the pre-step busy flags — i.e. exactly the decision record
+of the FIFO heuristic dispatcher that outperforms every trained policy
+in the repo (PARITY.md: pick rate 127.6). The reference never exploits
+its own logs this way; here they become supervision.
+
+Training: masked cross-entropy over each agent's valid actions
+(masks_from_feats, same contract as the RL learners), weighted to the
+real decision points — agents idle at the step (busy agents' stored
+actions are ignored by the env, env/step.py Phase 1a) whose taken action
+is valid under the reconstructed mask. The whole epoch is a scan of
+jitted minibatch steps on device; observations stay float16 on host and
+are staged per batch.
+
+The cloned network is the SAME class the RL agents use
+(train/run_rl._make_network), so its parameters drop into QMIX/IQL as a
+warm start (run_rl.RLRunConfig.init_q_from) — RL-from-demonstrations.
+Evaluation: pure-greedy rollouts (argmax over cloned logits), optionally
+through the claim auction (rl/coordination.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swarm_ode_tpu.config import EnvConfig
+from swarm_ode_tpu.env import observations, step as step_mod
+from swarm_ode_tpu.env.layout import build_layout
+from swarm_ode_tpu.env.state import make_params
+from swarm_ode_tpu.graphs.hetero import (
+    hetero_graph_from_obs,
+    masks_from_feats,
+    split_observation,
+)
+from swarm_ode_tpu.rl import coordination
+from swarm_ode_tpu.utils.metrics import pick_rate
+
+
+@dataclasses.dataclass
+class BCConfig:
+    env_id: str = "tarware-medium-19agvs-9pickers-partialobs-v1"
+    files: Optional[List[str]] = None  # HDF5 dataset paths
+    net: str = "gnode"  # same registry as run_rl (gnode | gnn)
+    hidden_dim: int = 64
+    lr: float = 1e-3
+    epochs: int = 10
+    batch_size: int = 64
+    val_frac: float = 0.1  # episode-level split
+    step_stride: int = 1  # subsample steps within episodes
+    max_episodes: int = 0  # 0 = all
+    seed: int = 0
+    checkpoint_dir: Optional[str] = None
+    # Greedy rollout evaluation after training (0 = off).
+    eval_episodes: int = 0
+    eval_coordinated: bool = False
+
+
+def load_decision_arrays(files: List[str], stride: int = 1,
+                         max_episodes: int = 0):
+    """Stack (obs, actions, busy) across episodes/files.
+
+    Returns float16/int32/bool numpy arrays of shape (N, A, obs_len),
+    (N, A), (N, A) plus per-row episode ids for the split."""
+    obs_l, act_l, busy_l, ep_l = [], [], [], []
+    ep_id = 0
+    for path in files:
+        with h5py.File(path, "r") as f:
+            keys = sorted(k for k in f.keys() if k.startswith("episode_"))
+            for k in keys:
+                if max_episodes and ep_id >= max_episodes:
+                    break
+                g = f[k]["steps"]
+                obs_l.append(g["observations"][::stride])
+                act_l.append(g["actions"][::stride])
+                busy_l.append(g["agent_busy"][::stride])
+                ep_l.append(np.full(obs_l[-1].shape[0], ep_id, np.int32))
+                ep_id += 1
+    return (
+        np.concatenate(obs_l).astype(np.float16),
+        np.concatenate(act_l).astype(np.int32),
+        np.concatenate(busy_l),
+        np.concatenate(ep_l),
+    )
+
+
+def train_bc(cfg: BCConfig, verbose: bool = True) -> Dict:
+    from swarm_ode_tpu.train.run_rl import RLRunConfig, _make_network
+
+    env_cfg = EnvConfig.from_env_id(cfg.env_id)
+    lay = build_layout(env_cfg)
+    params = make_params(env_cfg, lay)
+    gs_scale = 1.0 / float(max(params.grid_h, params.grid_w))
+    net = _make_network(
+        RLRunConfig(net=cfg.net, hidden_dim=cfg.hidden_dim),
+        params.num_actions, params.num_agvs, params.num_pickers,
+        coord_scale=gs_scale,
+    )
+
+    obs_np, act_np, busy_np, ep_np = load_decision_arrays(
+        cfg.files, cfg.step_stride, cfg.max_episodes
+    )
+    n_eps = int(ep_np.max()) + 1
+    rng = np.random.default_rng(cfg.seed)
+    val_eps = set(
+        rng.permutation(n_eps)[: max(1, int(n_eps * cfg.val_frac))].tolist()
+    )
+    is_val = np.isin(ep_np, list(val_eps))
+    if verbose:
+        print(
+            f"[bc] {obs_np.shape[0]} steps from {n_eps} episodes "
+            f"({is_val.sum()} val rows), idle fraction "
+            f"{(~busy_np).mean():.3f}",
+            flush=True,
+        )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k0, key = jax.random.split(key)
+    es0 = step_mod.reset(params, k0)
+    g0 = hetero_graph_from_obs(params, observations.observe(params, es0))
+    net_params = net.init(k0, g0)
+
+    import optax
+
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(net_params)
+
+    def logits_of(p, obs):
+        g = hetero_graph_from_obs(params, obs)
+        out = net.apply(p, g)
+        return jnp.concatenate(
+            [out["agv_q_values"], out["picker_q_values"]], axis=0
+        )
+
+    def batch_loss(p, obs_b, act_b, idle_b):
+        def one(obs, act, idle):
+            logits = logits_of(p, obs)
+            a_f, p_f, l_f = split_observation(params, obs)
+            masks = masks_from_feats(params, a_f, p_f, l_f)
+            taken_valid = (
+                jnp.take_along_axis(masks, act[:, None], -1)[:, 0] > 0
+            )
+            # Decision points: idle agents whose logged action is valid
+            # under the reconstructed mask (rare capture-edge mismatches
+            # would otherwise inject -log(~0) outliers).
+            w = (idle & taken_valid).astype(jnp.float32)
+            logp = jax.nn.log_softmax(
+                jnp.where(masks > 0, logits, -1e9), axis=-1
+            )
+            ce = -jnp.take_along_axis(logp, act[:, None], -1)[:, 0]
+            hit = (jnp.argmax(jnp.where(masks > 0, logits, -1e9), -1)
+                   == act)
+            return (ce * w).sum(), w.sum(), (hit * w).sum()
+
+        ce, w, hit = jax.vmap(one)(obs_b, act_b, idle_b)
+        wsum = jnp.maximum(w.sum(), 1.0)
+        return ce.sum() / wsum, (hit.sum() / wsum, w.sum())
+
+    @jax.jit
+    def train_step(p, opt_state, obs_b, act_b, idle_b):
+        (loss, (acc, w)), grads = jax.value_and_grad(
+            batch_loss, has_aux=True
+        )(p, obs_b, act_b, idle_b)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss, acc, w
+
+    @jax.jit
+    def eval_step(p, obs_b, act_b, idle_b):
+        loss, (acc, w) = batch_loss(p, obs_b, act_b, idle_b)
+        return loss, acc, w
+
+    tr_idx = np.where(~is_val)[0]
+    va_idx = np.where(is_val)[0]
+    B = cfg.batch_size
+
+    def run_split(p, opt_state, idx, train):
+        order = rng.permutation(idx) if train else idx
+        n_b = len(order) // B
+        tot_l = tot_a = tot_w = 0.0
+        for b in range(n_b):
+            rows = order[b * B: (b + 1) * B]
+            obs_b = jnp.asarray(obs_np[rows], jnp.float32)
+            act_b = jnp.asarray(act_np[rows])
+            idle_b = jnp.asarray(~busy_np[rows])
+            if train:
+                p, opt_state, loss, acc, w = train_step(
+                    p, opt_state, obs_b, act_b, idle_b
+                )
+            else:
+                loss, acc, w = eval_step(p, obs_b, act_b, idle_b)
+            w = float(w)
+            tot_l += float(loss) * w
+            tot_a += float(acc) * w
+            tot_w += w
+        tot_w = max(tot_w, 1.0)
+        return p, opt_state, tot_l / tot_w, tot_a / tot_w
+
+    ckpt = None
+    if cfg.checkpoint_dir:
+        from swarm_ode_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(cfg.checkpoint_dir)
+
+    history = []
+    best = (np.inf, None)
+    for ep in range(cfg.epochs):
+        t0 = time.time()
+        net_params, opt_state, tr_l, tr_a = run_split(
+            net_params, opt_state, tr_idx, True
+        )
+        _, _, va_l, va_a = run_split(net_params, opt_state, va_idx, False)
+        history.append(
+            {"epoch": ep, "train_loss": tr_l, "train_acc": tr_a,
+             "val_loss": va_l, "val_acc": va_a,
+             "seconds": time.time() - t0}
+        )
+        if va_l < best[0]:
+            best = (va_l, jax.tree.map(np.asarray, net_params))
+            if ckpt:
+                ckpt.save(ep, {"q_params": best[1]}, force=True)
+        if verbose:
+            h = history[-1]
+            print(
+                f"[bc] epoch {ep}: train ce {tr_l:.4f} acc {tr_a:.3f} | "
+                f"val ce {va_l:.4f} acc {va_a:.3f} "
+                f"[{h['seconds']:.1f}s]",
+                flush=True,
+            )
+
+    net_params = jax.tree.map(jnp.asarray, best[1])
+    out = {"params": net_params, "history": history,
+           "best_val_loss": best[0]}
+
+    if cfg.eval_episodes:
+        out["eval"] = evaluate_policy(
+            params, net, net_params, cfg.eval_episodes,
+            jax.random.PRNGKey(cfg.seed + 1),
+            coordinated=cfg.eval_coordinated, verbose=verbose,
+        )
+    return out
+
+
+def evaluate_policy(params, net, net_params, episodes, key,
+                    coordinated=False, verbose=True) -> Dict:
+    """Pure-greedy rollout of a cloned policy: argmax over masked logits
+    (optionally through the claim auction), E fresh envs in lockstep —
+    the reference's greedy stat-line convention (run_heuristic.py:30-58).
+    """
+    E = episodes
+    steps = params.max_steps or 500
+    rack_start = 1 + params.num_goals
+
+    def act(obs, es):
+        g = hetero_graph_from_obs(params, obs)
+        out = net.apply(net_params, g)
+        logits = jnp.concatenate(
+            [out["agv_q_values"], out["picker_q_values"]], axis=0
+        )
+        masks = observations.compute_valid_action_masks(params, es)
+        if coordinated:
+            return coordination.coordinated_argmax(
+                logits, masks, params.num_agvs, rack_start,
+                active=~es.agent_busy,
+            )
+        return jnp.argmax(
+            jnp.where(masks > 0, logits, -jnp.inf), -1
+        ).astype(jnp.int32)
+
+    @jax.jit
+    def roll(key):
+        es = jax.vmap(step_mod.reset, in_axes=(None, 0))(
+            params, jax.random.split(key, E)
+        )
+        obs = jax.vmap(lambda e: observations.observe(params, e))(es)
+
+        def body(carry, _):
+            es, obs = carry
+            actions = jax.vmap(act)(obs, es)
+            es2, rew, done, info = jax.vmap(
+                lambda e, a: step_mod.step(params, e, a)
+            )(es, actions)
+            obs2 = jax.vmap(lambda e: observations.observe(params, e))(es2)
+            return (es2, obs2), (
+                rew.sum(), info["shelf_deliveries"].sum(),
+                info["clashes"].sum(),
+            )
+
+        (_, _), (rews, delivs, clashes) = jax.lax.scan(
+            body, (es, obs), None, length=steps
+        )
+        return rews.sum() / E, delivs.sum() / E, clashes.sum() / E
+
+    r, d, c = jax.tree.map(float, roll(key))
+    res = {
+        "episodes": E,
+        "pick_rate": pick_rate(d, steps),
+        "deliveries": d,
+        "return": r,
+        "clashes": c,
+        "coordinated": bool(coordinated),
+    }
+    if verbose:
+        print(
+            f"[bc eval eps=0{' coord' if coordinated else ''}] "
+            f"pick_rate={res['pick_rate']:.2f} deliveries={d:.1f} "
+            f"clashes={c:.1f} ({E} episodes)",
+            flush=True,
+        )
+    return res

@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-3 TPU queue, part 3 — coordination + behavior-cloning stages.
+# Waits for queue2 (experiments/r3_queue2.sh) to finish so TPU jobs stay
+# serialized (one TPU process at a time on this VM).
+cd /root/repo
+MEDIUM=tarware-medium-19agvs-9pickers-partialobs-v1
+
+stage() {
+  local name=$1; shift
+  echo "=== $(date -u +%H:%M:%S) stage $name: $*" >> /tmp/r3_queue.log
+  "$@" > "/tmp/r3_${name}.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) stage $name exit $?" >> /tmp/r3_queue.log
+}
+
+# Wait for queue2's bash process to exit (poll; not our child).
+Q2PID=$(cat /tmp/r3_queue2.pid 2>/dev/null)
+while [ -n "$Q2PID" ] && kill -0 "$Q2PID" 2>/dev/null; do
+  sleep 60
+done
+echo "=== $(date -u +%H:%M:%S) queue3 start" >> /tmp/r3_queue.log
+
+# Confirm the CPU-backend coordination result on the chip (minutes).
+stage I_coord_eval_tpu_base python3 experiments/eval_rl_checkpoint.py \
+  --resume_from runs/qmix_medium_5k_v2_30k/ckpt --seeds 3 \
+  --eval_episodes 8 --out runs/coord_eval_tpu.jsonl
+stage I_coord_eval_tpu_coord python3 experiments/eval_rl_checkpoint.py \
+  --resume_from runs/qmix_medium_5k_v2_30k/ckpt --seeds 3 \
+  --eval_episodes 8 --coordinated --out runs/coord_eval_tpu.jsonl
+
+# Clone the dispatcher at reference scale (~20 min).
+stage K_bc_medium python3 experiments/medium_bc.py --env "$MEDIUM" \
+  --net gnode --hidden_dim 64 --epochs 20 --stride 2 --eval_episodes 8
+
+# Fine-tune the 30k checkpoint WITH coordinated TD targets (+10k eps).
+stage J_qmix_coord_ft python3 experiments/medium_qmix_5k.py \
+  --num_episodes 10000 --resume_from runs/qmix_medium_5k_v2_30k/ckpt \
+  --coordinated --eval_every 250 --eval_episodes 8 \
+  --epsilon_min 0.05 --tag v2_coord_40k
+
+# QMIX from demonstrations: BC warm start + coordination, low epsilon.
+stage L_qmix_bc_coord python3 experiments/medium_qmix_5k.py \
+  --num_episodes 5000 --init_q_from runs/bc_medium/ckpt \
+  --coordinated --epsilon_start 0.1 --epsilon_min 0.05 \
+  --eval_every 250 --eval_episodes 8 --tag bc_coord
+
+echo "=== $(date -u +%H:%M:%S) queue3 done" >> /tmp/r3_queue.log

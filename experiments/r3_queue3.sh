@@ -17,6 +17,13 @@ Q2PID=$(cat /tmp/r3_queue2.pid 2>/dev/null)
 while [ -n "$Q2PID" ] && kill -0 "$Q2PID" 2>/dev/null; do
   sleep 60
 done
+# Belt and braces: even if queue2 died early, never start TPU stages
+# until the backend answers (it can be down for hours after a stranded
+# lease — NOTES.md round-3 outage).
+until timeout 240 python3 -c "import jax; jax.devices()" 2>/dev/null; do
+  echo "=== $(date -u +%H:%M:%S) queue3: TPU still unavailable" >> /tmp/r3_queue.log
+  sleep 60
+done
 echo "=== $(date -u +%H:%M:%S) queue3 start" >> /tmp/r3_queue.log
 
 # Confirm the CPU-backend coordination result on the chip (minutes).

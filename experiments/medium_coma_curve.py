@@ -27,6 +27,9 @@ p.add_argument("--eval_every", type=int, default=0,
 p.add_argument("--eval_episodes", type=int, default=8)
 p.add_argument("--tag", default="", help="suffix for the output dir")
 p.add_argument("--out_dir", default=None)
+p.add_argument("--coordinated", action="store_true",
+               help="claim-masked sequential sampling scored under its "
+                    "exact density (rl/coordination.py)")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
 if args.cpu:
@@ -60,6 +63,7 @@ cfg = RLRunConfig(
     coma_lr_critic=args.lr_critic,
     coma_entropy=args.entropy,
     coma_entropy_decay=args.entropy_decay,
+    coordinated=args.coordinated,
     eval_every=args.eval_every,
     eval_episodes=args.eval_episodes,
     checkpoint_dir=str(OUT / "ckpt"),

@@ -21,6 +21,7 @@ from flax import struct
 from swarm_ode_tpu.env.state import EnvParams
 from swarm_ode_tpu.graphs.hetero import build_hetero_graph, masks_from_feats
 from swarm_ode_tpu.models.coma import COMAActor, COMACritic
+from swarm_ode_tpu.rl import coordination
 
 
 @dataclasses.dataclass
@@ -43,6 +44,13 @@ class COMAConfig:
     # Annealing lets the policy sharpen late in training once the
     # exploration pressure has done its job.
     entropy_decay: float = 1.0
+    # Claim-masked sequential sampling (rl/coordination.py). Unlike the
+    # value-based agents, on-policy COMA needs the behavior density, and
+    # the auction's deterministic claim order makes it tractable:
+    # sampling uses coordinated_sample and the actor update scores the
+    # taken actions under sequential_log_prob — the EXACT distribution
+    # they were drawn from, so the policy gradient stays unbiased.
+    coordinated: bool = False
 
 
 @struct.dataclass
@@ -104,16 +112,22 @@ class COMAAgent:
     def act(self, state: COMAState, graph, masks, key, training=True,
             active=None):
         """Sample (training) or argmax (eval) from the masked policy
-        (reference gru.py:420-430).
-
-        `active` is accepted for call-site uniformity with the value-based
-        agents but ignored: COMA is on-policy, and the actor update
-        (actor_loss_fn) scores actions under the independent masked
-        categorical — coordinated (claim-masked sequential) sampling would
-        make the behavior distribution disagree with the one being
-        differentiated. rl/coordination.coordinated_sample exists for
-        off-policy/eval use."""
+        (reference gru.py:420-430). With cfg.coordinated, both paths run
+        through the claim auction; the actor update then scores actions
+        under sequential_log_prob — the exact sampling density — so the
+        on-policy gradient stays unbiased."""
         logits = self._logits(state.actor_params, graph)
+        if self.cfg.coordinated:
+            rack_start = 1 + self.env_params.num_goals
+            sampled = coordination.coordinated_sample(
+                logits, masks, self.env_params.num_agvs, rack_start, key,
+                active=active,
+            )
+            greedy = coordination.coordinated_argmax(
+                logits, masks, self.env_params.num_agvs, rack_start,
+                active=active,
+            )
+            return jnp.where(training, sampled, greedy).astype(jnp.int32)
         logits = jnp.where(masks > 0, logits, -1e9)
         sampled = jax.random.categorical(key, logits, axis=-1)
         greedy = jnp.argmax(logits, axis=-1)
@@ -167,6 +181,11 @@ class COMAAgent:
             n_agents = self.env_params.num_agents
 
             def probs_for(feats):
+                # Under cfg.coordinated these independent-softmax probs
+                # only approximate the sequential policy's marginals, but
+                # the sum stays a valid baseline: it depends on the state
+                # and u_{-i}, never on agent i's taken action, so the
+                # gradient is unbiased for ANY prob vector here.
                 logits = self._masked_logits(state.actor_params, feats)
                 return jax.nn.softmax(logits, axis=-1)  # (A, act)
 
@@ -203,13 +222,33 @@ class COMAAgent:
                 # valid-action distribution (act()), so the update must
                 # normalize over the same support — and the entropy bonus
                 # keeps that distribution from collapsing.
-                logits = self._masked_logits(ap, feats)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                taken = jnp.take_along_axis(
-                    logp, actions[:, None], -1
-                ).squeeze(-1)
-                probs = jnp.exp(logp)
-                entropy = -(probs * jnp.where(probs > 1e-8, logp, 0.0)).sum(-1)
+                if cfg.coordinated:
+                    # Score under the EXACT sequential sampling density:
+                    # menus reconstructed from the actually-taken earlier
+                    # actions, busy flags from the stored features.
+                    logits = self._logits(ap, self._graph(feats))
+                    masks = masks_from_feats(
+                        self.env_params, feats["agv"], feats["picker"],
+                        feats["loc"],
+                    )
+                    taken, entropy = coordination.sequential_log_prob(
+                        logits, masks, actions,
+                        self.env_params.num_agvs,
+                        1 + self.env_params.num_goals,
+                        active=~coordination.busy_from_feats(
+                            feats["agv"], feats["picker"]
+                        ),
+                    )
+                else:
+                    logits = self._masked_logits(ap, feats)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    taken = jnp.take_along_axis(
+                        logp, actions[:, None], -1
+                    ).squeeze(-1)
+                    probs = jnp.exp(logp)
+                    entropy = -(
+                        probs * jnp.where(probs > 1e-8, logp, 0.0)
+                    ).sum(-1)
                 return (
                     -(taken * adv_row).sum()
                     - ent_coef * entropy.sum()

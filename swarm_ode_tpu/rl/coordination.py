@@ -38,12 +38,20 @@ import jax.numpy as jnp
 BIG_NEG = -1e9
 
 
+def _selection_order(scores: jnp.ndarray, active) -> jnp.ndarray:
+    """Deterministic claim order: best score first, busy agents last.
+    Shared by selection and density computation — the two MUST agree for
+    sequential_log_prob to be the exact density of coordinated_sample."""
+    return jnp.argsort(-(scores - jnp.where(active, 0.0, 1e12)))
+
+
 def coordinated_argmax(
     q: jnp.ndarray,  # (A, num_actions) utilities (Q-values or logits)
     masks: jnp.ndarray,  # (A, num_actions) valid-action masks (>0 = valid)
     num_agvs: int,
     rack_start: int,  # first rack action index == 1 + num_goals
     active=None,  # (A,) bool; False = busy (selects but never claims)
+    order_scores=None,  # (A,) claim-order override (default: best bid)
 ) -> jnp.ndarray:
     """Sequential conflict-masked argmax. Returns (A,) int32 actions.
 
@@ -60,11 +68,11 @@ def coordinated_argmax(
     masked = jnp.where(masks > 0, q, BIG_NEG)
     if active is None:
         active = jnp.ones((A,), jnp.bool_)
-    # Most confident bids first; busy agents can go anywhere in the order
-    # (they never claim), but sorting them last keeps the semantics
-    # obvious and costs nothing.
-    conf = jnp.max(masked, axis=-1)
-    order = jnp.argsort(-(conf - jnp.where(active, 0.0, 1e12)))
+    # Most confident bids first; busy agents last (they never claim, but
+    # idle agents must outrank them for the menus to be right).
+    if order_scores is None:
+        order_scores = jnp.max(masked, axis=-1)
+    order = _selection_order(order_scores, active)
 
     col = jnp.arange(n)
 
@@ -118,15 +126,71 @@ def coordinated_sample(
     key,
     active=None,
 ) -> jnp.ndarray:
-    """Claim-masked categorical sampling via the Gumbel-max trick:
-    argmax(logits + Gumbel) is an exact categorical sample, so running
-    the perturbed logits through the auction gives sequential sampling
-    where each agent samples from its distribution renormalized over the
-    not-yet-claimed valid actions."""
-    noisy = jnp.where(masks > 0, logits, BIG_NEG) + jax.random.gumbel(
-        key, logits.shape
+    """Claim-masked sequential categorical sampling via the Gumbel-max
+    trick: argmax over a restricted menu of (logits + Gumbel) is an exact
+    sample from the softmax renormalized over that menu, so running the
+    perturbed logits through the auction samples each agent's action from
+    its distribution conditioned on earlier agents' claims.
+
+    The claim ORDER is deterministic (clean masked logits, not the
+    perturbed ones — `_selection_order`), which makes the joint density
+    tractable: `sequential_log_prob` computes it exactly, so on-policy
+    learners (COMA) can differentiate the very distribution they sampled
+    from."""
+    masked = jnp.where(masks > 0, logits, BIG_NEG)
+    noisy = masked + jax.random.gumbel(key, logits.shape)
+    if active is None:
+        active = jnp.ones((logits.shape[0],), jnp.bool_)
+    return coordinated_argmax(
+        noisy, masks, num_agvs, rack_start, active,
+        order_scores=jnp.max(masked, axis=-1),
     )
-    return coordinated_argmax(noisy, masks, num_agvs, rack_start, active)
+
+
+def sequential_log_prob(
+    logits: jnp.ndarray,  # (A, num_actions)
+    masks: jnp.ndarray,  # (A, num_actions)
+    actions: jnp.ndarray,  # (A,) taken actions (int)
+    num_agvs: int,
+    rack_start: int,
+    active=None,
+) -> tuple:
+    """Exact per-agent log-density and entropy of `coordinated_sample`.
+
+    Replays the deterministic claim order and reconstructs each agent's
+    restricted menu from the ACTUALLY TAKEN earlier actions, then scores
+    the taken action under the renormalized softmax. Returns
+    (logp (A,), entropy (A,)) aligned to agent index — entropy is the
+    per-agent conditional entropy given the earlier claims.
+    """
+    A, n = logits.shape
+    masked = jnp.where(masks > 0, logits, BIG_NEG)
+    if active is None:
+        active = jnp.ones((A,), jnp.bool_)
+    order = _selection_order(jnp.max(masked, axis=-1), active)
+    col = jnp.arange(n)
+
+    def body(carry, i):
+        claimed_agv, claimed_pick = carry
+        is_picker = i >= num_agvs
+        claimed = jnp.where(is_picker, claimed_pick, claimed_agv)
+        row = jnp.where(claimed, BIG_NEG, masked[i])
+        logp_row = jax.nn.log_softmax(row)
+        a = actions[i]
+        lp = logp_row[a]
+        p = jnp.exp(logp_row)
+        ent = -(p * jnp.where(p > 1e-8, logp_row, 0.0)).sum()
+        take = active[i] & (a >= rack_start)
+        claimed_new = claimed | ((col == a) & take)
+        claimed_agv = jnp.where(is_picker, claimed_agv, claimed_new)
+        claimed_pick = jnp.where(is_picker, claimed_new, claimed_pick)
+        return (claimed_agv, claimed_pick), (lp, ent)
+
+    init = (jnp.zeros(n, jnp.bool_), jnp.zeros(n, jnp.bool_))
+    _, (lps, ents) = jax.lax.scan(body, init, order)
+    logp = jnp.zeros(A, lps.dtype).at[order].set(lps)
+    entropy = jnp.zeros(A, ents.dtype).at[order].set(ents)
+    return logp, entropy
 
 
 def busy_from_feats(agv_feats: jnp.ndarray, picker_feats: jnp.ndarray):

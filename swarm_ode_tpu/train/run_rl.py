@@ -115,8 +115,10 @@ class RLRunConfig:
     # idle agents claim rack targets in confidence order so no two
     # same-type agents double-book a shelf in one macro step — the
     # structural lever from the round-3 QMIX plateau analysis
-    # (RESULTS.md). Applies to IQL/QMIX behavior and the QMIX TD-target
-    # argmax; COMA ignores it (on-policy — see rl/coma.py act).
+    # (RESULTS.md). IQL/QMIX: behavior (+ QMIX TD-target argmax). COMA:
+    # sequential sampling scored under its exact density
+    # (rl/coordination.sequential_log_prob), keeping the on-policy
+    # gradient unbiased.
     coordinated: bool = False
 
 
@@ -253,6 +255,7 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             lr_critic=cfg.coma_lr_critic,
             entropy_coef=cfg.coma_entropy,
             entropy_decay=cfg.coma_entropy_decay,
+            coordinated=cfg.coordinated,
         )
         if cfg.gamma is not None:
             coma_cfg.gamma = cfg.gamma

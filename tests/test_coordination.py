@@ -139,6 +139,82 @@ def test_coordinated_sample_valid_and_conflict_free():
     assert len(set(agv_racks)) == len(agv_racks)
 
 
+def test_sequential_log_prob_matches_independent_when_no_conflicts():
+    """With one agent (or disjoint preferences) the sequential density
+    reduces to the independent masked softmax."""
+    from swarm_ode_tpu.rl.coordination import sequential_log_prob
+
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (1, N_ACT))
+    masks = jnp.ones((1, N_ACT)).at[0, 2].set(0.0)
+    for a in range(N_ACT):
+        if a == 2:
+            continue
+        lp, ent = sequential_log_prob(
+            logits, masks, jnp.asarray([a]), 1, RACK_START
+        )
+        ref = jax.nn.log_softmax(
+            jnp.where(masks[0] > 0, logits[0], -1e9)
+        )[a]
+        np.testing.assert_allclose(float(lp[0]), float(ref), rtol=1e-5)
+
+
+def test_sequential_log_prob_is_exact_sampling_density():
+    """Empirical frequencies of coordinated_sample match
+    exp(sum_i sequential_log_prob_i) for every observed joint action —
+    the unbiasedness contract of coordinated COMA."""
+    from swarm_ode_tpu.rl.coordination import (
+        coordinated_sample,
+        sequential_log_prob,
+    )
+
+    # 2 AGVs + 1 picker, 5 actions, racks from col 2: small enough that
+    # the joint support is coverable by 4000 samples.
+    num_agvs, rack_start, n = 2, 2, 5
+    key = jax.random.PRNGKey(3)
+    logits = jax.random.normal(key, (3, n))
+    masks = jnp.ones((3, n))
+    active = jnp.asarray([True, True, True])
+
+    N = 4000
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+    samples = jax.vmap(
+        lambda k: coordinated_sample(logits, masks, num_agvs, rack_start,
+                                     k, active=active)
+    )(keys)
+    samples = np.asarray(samples)
+
+    joint, counts = np.unique(samples, axis=0, return_counts=True)
+    # Model probability of each observed joint action.
+    lps = jax.vmap(
+        lambda a: sequential_log_prob(logits, masks, a, num_agvs,
+                                      rack_start, active=active)[0].sum()
+    )(jnp.asarray(joint))
+    probs = np.exp(np.asarray(lps))
+    freqs = counts / N
+    # Frequencies agree within binomial noise (4 sigma).
+    sigma = np.sqrt(probs * (1 - probs) / N)
+    assert np.all(np.abs(freqs - probs) < 4 * sigma + 1e-3), (
+        list(zip(joint.tolist(), freqs.tolist(), probs.tolist()))
+    )
+    # And the observed support covers most of the probability mass.
+    assert probs.sum() > 0.98
+
+
+def test_sequential_log_prob_zero_prob_for_double_booked_rack():
+    from swarm_ode_tpu.rl.coordination import sequential_log_prob
+
+    # Both AGVs "took" rack 4 — impossible under the auction, so the
+    # later-ordered agent's logp must be ~log(0).
+    logits = jnp.zeros((2, N_ACT)).at[0, 4].set(5.0).at[1, 4].set(1.0)
+    masks = jnp.ones((2, N_ACT))
+    lp, _ = sequential_log_prob(
+        logits, masks, jnp.asarray([4, 4]), 2, RACK_START
+    )
+    assert float(lp[0]) > -2.0  # first claimant: high prob
+    assert float(lp[1]) < -1e6  # impossible joint action
+
+
 # ---------------------------------------------------------------- env
 @pytest.fixture(scope="module")
 def tiny_env():

@@ -69,6 +69,21 @@ def test_qmix_coordinated_loop():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+def test_coma_coordinated_loop():
+    """Coordinated COMA: sequential sampling + exact-density actor update
+    (rl/coordination.sequential_log_prob) runs end-to-end with finite
+    losses."""
+    cfg = RLRunConfig(
+        env_id=TINY, algo="coma", net="gnode", num_envs=2, num_episodes=2,
+        hidden_dim=8, buffer_size=3000, batch_size=8, learn_every=10,
+        seed=0, coordinated=True, coma_updates=2,
+    )
+    out = run_marl(cfg, verbose=False)
+    stats = out["history"][0]
+    assert np.isfinite(stats["critic_loss"])
+    assert np.isfinite(stats["actor_loss"])
+
+
 def test_iql_coordinated_loop():
     cfg = RLRunConfig(
         env_id=TINY, algo="iql", net="gnn", num_envs=2, num_episodes=2,

@@ -1,0 +1,72 @@
+"""Hermetic policy export (serving.py): trace -> serialize -> reload ->
+identical actions, with and without the claim auction."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swarm_ode_tpu.config import EnvConfig
+from swarm_ode_tpu.env import observations, step as step_mod
+from swarm_ode_tpu.env.layout import build_layout
+from swarm_ode_tpu.env.state import make_params
+from swarm_ode_tpu.serving import export_policy, load_policy, make_policy_fn
+from swarm_ode_tpu.train.run_rl import RLRunConfig, _make_network
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = EnvConfig.from_env_id("tarware-tiny-3agvs-2pickers-partialobs-v1")
+    params = make_params(cfg, build_layout(cfg))
+    net = _make_network(
+        RLRunConfig(net="gnn", hidden_dim=16),
+        params.num_actions, params.num_agvs, params.num_pickers,
+        coord_scale=1.0 / float(max(params.grid_h, params.grid_w)),
+    )
+    key = jax.random.PRNGKey(0)
+    es = step_mod.reset(params, key)
+    obs = observations.observe(params, es)
+    from swarm_ode_tpu.graphs.hetero import hetero_graph_from_obs
+
+    net_params = net.init(key, hetero_graph_from_obs(params, obs))
+    return params, net, net_params, es, obs
+
+
+@pytest.mark.parametrize("coordinated", [False, True])
+def test_export_roundtrip_matches_direct_call(setup, coordinated):
+    params, net, net_params, es, obs = setup
+    policy = make_policy_fn(params, net, net_params, coordinated=coordinated)
+    blob = export_policy(policy, obs)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    served = load_policy(blob)
+
+    # Roll a few env steps; served blob and direct function must agree.
+    key = jax.random.PRNGKey(1)
+    for _ in range(5):
+        want = np.asarray(policy(obs))
+        got = np.asarray(served(np.asarray(obs, np.float32)))
+        np.testing.assert_array_equal(got, want)
+        es, _, _, _ = step_mod.step(params, es, jnp.asarray(want))
+        obs = observations.observe(params, es)
+
+
+def test_exported_blob_is_file_persistable(setup, tmp_path):
+    params, net, net_params, es, obs = setup
+    policy = make_policy_fn(params, net, net_params)
+    blob = export_policy(policy, obs)
+    p = tmp_path / "policy.stablehlo"
+    p.write_bytes(blob)
+    served = load_policy(p.read_bytes())
+    np.testing.assert_array_equal(
+        np.asarray(served(np.asarray(obs, np.float32))),
+        np.asarray(policy(obs)),
+    )
+
+
+def test_exported_policy_actions_are_valid(setup):
+    params, net, net_params, es, obs = setup
+    served = load_policy(
+        export_policy(make_policy_fn(params, net, net_params, True), obs)
+    )
+    masks = np.asarray(observations.compute_valid_action_masks(params, es))
+    acts = np.asarray(served(np.asarray(obs, np.float32)))
+    assert all(masks[i, a] > 0 for i, a in enumerate(acts))

@@ -34,9 +34,16 @@ stage I_coord_eval_tpu_coord python3 experiments/eval_rl_checkpoint.py \
   --resume_from runs/qmix_medium_5k_v2_30k/ckpt --seeds 3 \
   --eval_episodes 8 --coordinated --out runs/coord_eval_tpu.jsonl
 
-# Clone the dispatcher at reference scale (~20 min).
+# Clone the dispatcher at reference scale (~20 min). CPU probes
+# (runs/bc_medium_cpu_probe*): gnn rolls out far better than gnode
+# (73.8/77.8 vs 49.3/35.6 pick rate) despite lower decision accuracy —
+# BC compounding error hits the ODE net harder. gnn is the warm-start
+# donor; gnode kept as the comparison row.
 stage K_bc_medium python3 experiments/medium_bc.py --env "$MEDIUM" \
-  --net gnode --hidden_dim 64 --epochs 20 --stride 2 --eval_episodes 8
+  --net gnn --hidden_dim 64 --epochs 30 --stride 2 --eval_episodes 8
+stage K2_bc_medium_gnode python3 experiments/medium_bc.py --env "$MEDIUM" \
+  --net gnode --hidden_dim 64 --epochs 20 --stride 2 --eval_episodes 8 \
+  --tag gnode
 
 # Fine-tune the 30k checkpoint WITH coordinated TD targets (+10k eps).
 stage J_qmix_coord_ft python3 experiments/medium_qmix_5k.py \
@@ -44,9 +51,10 @@ stage J_qmix_coord_ft python3 experiments/medium_qmix_5k.py \
   --coordinated --eval_every 250 --eval_episodes 8 \
   --epsilon_min 0.05 --tag v2_coord_40k
 
-# QMIX from demonstrations: BC warm start + coordination, low epsilon.
+# QMIX from demonstrations: BC warm start (gnn — must match the donor
+# net) + coordination, low epsilon.
 stage L_qmix_bc_coord python3 experiments/medium_qmix_5k.py \
-  --num_episodes 5000 --init_q_from runs/bc_medium/ckpt \
+  --num_episodes 5000 --init_q_from runs/bc_medium/ckpt --net gnn \
   --coordinated --epsilon_start 0.1 --epsilon_min 0.05 \
   --eval_every 250 --eval_episodes 8 --tag bc_coord
 

@@ -234,6 +234,107 @@ def heuristic_policy(
     return actions, new_h
 
 
+def reconstruct_state(params: EnvParams, env_state: EnvState) -> HeuristicState:
+    """HeuristicState re-derived from the env state alone.
+
+    The dispatcher's bookkeeping is recoverable because the env tracks
+    the mission phase implicitly: `agent_busy`/`agent_target` say where
+    an agent is heading, `agent_carrying` + `agent_has_delivered`
+    (set at the goal, cleared at shelf return — env/step.py:550,637) say
+    which leg of the pick->deliver->return cycle it is on. This makes a
+    STATELESS expert possible: heuristic_policy(reconstruct_state(s), s)
+    labels any state with the dispatcher's action — the expert oracle
+    DAgger needs at states a learned policy visits, where threaded
+    bookkeeping would desynchronize from reality.
+
+    Deviations from the threaded state (measured in
+    tests/test_stateless_expert.py): assignment timestamps are all zero,
+    so the picker "oldest mission first" tie-break degrades to
+    lowest-AGV-index order.
+    """
+    Na = params.num_agvs
+    G, L = params.num_goals, params.num_racks
+    busy = env_state.agent_busy[:Na]
+    carrying = env_state.agent_carrying[:Na] > 0
+    delivered = env_state.agent_has_delivered[:Na]
+    target = env_state.agent_target[:Na]
+
+    # Mission phase per AGV.
+    mission = jnp.where(
+        carrying & ~delivered,
+        jnp.where(busy, DELIVERING, PICKING),
+        jnp.where(
+            carrying & delivered,
+            jnp.where(busy, RETURNING, DELIVERING),
+            jnp.where(busy, PICKING, NONE),
+        ),
+    ).astype(jnp.int32)
+    # Idle carrying agents sit exactly where their last leg ended; setting
+    # at_loc fires the phase-transition rules (p2d / d2r) that hand them
+    # their next destination.
+    at_loc = (~busy) & carrying
+    loc = jnp.where(busy, target, 0).astype(jnp.int32)
+
+    # Claimed queue items: the shelf a busy pickup-bound AGV is heading
+    # to (the FIFO dedup needs it, or another AGV gets the same item).
+    rack_shelf = (
+        jnp.zeros(L + 1, jnp.int32)
+        .at[
+            jnp.where(
+                grid_at(params.cell_to_rack, env_state.shelf_xy[:, 1],
+                        env_state.shelf_xy[:, 0]) >= 0,
+                grid_at(params.cell_to_rack, env_state.shelf_xy[:, 1],
+                        env_state.shelf_xy[:, 0]),
+                L,
+            )
+        ]
+        .set(
+            jnp.arange(1, env_state.shelf_xy.shape[0] + 1, dtype=jnp.int32),
+            mode="drop",
+        )[:L]
+    )
+    tgt_rack = jnp.where(target > G, target - G - 1, 0)
+    heading_to_pick = busy & ~carrying & (target > G)
+    item = jnp.where(
+        carrying, env_state.agent_carrying[:Na],
+        jnp.where(heading_to_pick, take_ids(rack_shelf, tgt_rack), 0),
+    ).astype(jnp.int32)
+
+    Np = max(params.num_pickers, 1)
+    p_busy = env_state.agent_busy[Na:]
+    p_target = env_state.agent_target[Na:]
+    picker_loc = jnp.where(p_busy, p_target, 0).astype(jnp.int32)
+    picker_loc = jnp.concatenate(
+        [picker_loc, jnp.zeros(Np - picker_loc.shape[0], jnp.int32)]
+    )[:Np]
+
+    return HeuristicState(
+        agv_mission=mission,
+        agv_loc=loc,
+        agv_item=item,
+        agv_at_loc=at_loc,
+        agv_time=jnp.zeros(Na, jnp.int32),
+        picker_loc=picker_loc,
+        timestep=env_state.cur_steps,
+    )
+
+
+def make_stateless_expert(params: EnvParams, layout: Layout):
+    """Expert oracle for DAgger (train/train_bc.py): env state -> the
+    dispatcher's macro actions, no threaded bookkeeping."""
+    if params.num_pickers > 0:
+        zones = jnp.asarray(picker_zones(layout, params.num_pickers))
+    else:
+        zones = jnp.zeros(params.num_racks, jnp.int32)
+
+    def expert(params_, env_state):
+        h = reconstruct_state(params_, env_state)
+        actions, _ = heuristic_policy(params_, zones, env_state, h)
+        return actions
+
+    return expert
+
+
 def heuristic_episode(env, render: bool = False, seed=None):
     """Reference-compatible episode runner (tarware/heuristic.py:26-146).
 

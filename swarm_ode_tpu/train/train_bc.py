@@ -92,7 +92,12 @@ def load_decision_arrays(files: List[str], stride: int = 1,
     )
 
 
-def train_bc(cfg: BCConfig, verbose: bool = True) -> Dict:
+def train_bc(cfg: BCConfig, verbose: bool = True, arrays=None,
+             init_params=None) -> Dict:
+    """Clone logged decisions. `arrays` overrides file loading with
+    in-memory (obs, actions, busy, episode_ids) — the DAgger aggregation
+    path; `init_params` continues from existing network parameters
+    instead of a fresh init."""
     from swarm_ode_tpu.train.run_rl import RLRunConfig, _make_network
 
     env_cfg = EnvConfig.from_env_id(cfg.env_id)
@@ -105,9 +110,11 @@ def train_bc(cfg: BCConfig, verbose: bool = True) -> Dict:
         coord_scale=gs_scale,
     )
 
-    obs_np, act_np, busy_np, ep_np = load_decision_arrays(
-        cfg.files, cfg.step_stride, cfg.max_episodes
-    )
+    if arrays is None:
+        arrays = load_decision_arrays(
+            cfg.files, cfg.step_stride, cfg.max_episodes
+        )
+    obs_np, act_np, busy_np, ep_np = arrays
     n_eps = int(ep_np.max()) + 1
     rng = np.random.default_rng(cfg.seed)
     val_eps = set(
@@ -126,7 +133,7 @@ def train_bc(cfg: BCConfig, verbose: bool = True) -> Dict:
     k0, key = jax.random.split(key)
     es0 = step_mod.reset(params, k0)
     g0 = hetero_graph_from_obs(params, observations.observe(params, es0))
-    net_params = net.init(k0, g0)
+    net_params = init_params if init_params is not None else net.init(k0, g0)
 
     import optax
 
@@ -246,6 +253,82 @@ def train_bc(cfg: BCConfig, verbose: bool = True) -> Dict:
             coordinated=cfg.eval_coordinated, verbose=verbose,
         )
     return out
+
+
+def collect_dagger(params, layout, net, net_params, episodes, key,
+                   beta: float = 0.0, coordinated: bool = True,
+                   steps: int = 0):
+    """DAgger data collection: roll the CLONE (or a beta-mixture with the
+    expert), label every visited state with the stateless expert oracle
+    (policies/heuristic.make_stateless_expert — the dispatcher's action
+    re-derived from the env state alone, no threaded bookkeeping).
+
+    This is the fix for BC's compounding error: plain cloning only sees
+    the expert's own states, so the clone's small mistakes drift it into
+    states it was never taught to recover from (measured:
+    runs/bc_medium_cpu_probe* — gnode clones decisions BETTER but rolls
+    out far worse). Aggregating expert labels at clone-visited states
+    trains exactly those recoveries (Ross et al. 2011).
+
+    Returns (obs float16 (N, A, obs_len), expert_actions (N, A) int32,
+    busy (N, A) bool) with N = episodes * steps, rolled as one jitted
+    scan of `episodes` lockstep envs.
+    """
+    from swarm_ode_tpu.policies.heuristic import make_stateless_expert
+
+    expert = make_stateless_expert(params, layout)
+    E = episodes
+    steps = steps or params.max_steps or 500
+    rack_start = 1 + params.num_goals
+
+    def clone_act(obs, es):
+        g = hetero_graph_from_obs(params, obs)
+        out = net.apply(net_params, g)
+        scores = jnp.concatenate(
+            [out["agv_q_values"], out["picker_q_values"]], axis=0
+        )
+        masks = observations.compute_valid_action_masks(params, es)
+        if coordinated:
+            return coordination.coordinated_argmax(
+                scores, masks, params.num_agvs, rack_start,
+                active=~es.agent_busy,
+            )
+        return jnp.argmax(
+            jnp.where(masks > 0, scores, -jnp.inf), -1
+        ).astype(jnp.int32)
+
+    @jax.jit
+    def run(key):
+        kr, key = jax.random.split(key)
+        es = jax.vmap(step_mod.reset, in_axes=(None, 0))(
+            params, jax.random.split(kr, E)
+        )
+        obs = jax.vmap(lambda e: observations.observe(params, e))(es)
+
+        def body(carry, k):
+            es, obs = carry
+            a_exp = jax.vmap(lambda e: expert(params, e))(es)
+            a_clone = jax.vmap(clone_act)(obs, es)
+            take_exp = jax.random.uniform(k, (E,)) < beta
+            a = jnp.where(take_exp[:, None], a_exp, a_clone)
+            es2, _, _, _ = jax.vmap(
+                lambda e, ai: step_mod.step(params, e, ai)
+            )(es, a.astype(jnp.int32))
+            obs2 = jax.vmap(lambda e: observations.observe(params, e))(es2)
+            return (es2, obs2), (obs, a_exp, es.agent_busy)
+
+        _, (obs_seq, act_seq, busy_seq) = jax.lax.scan(
+            body, (es, obs), jax.random.split(key, steps)
+        )
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        return flat(obs_seq), flat(act_seq), flat(busy_seq)
+
+    obs_seq, act_seq, busy_seq = run(key)
+    return (
+        np.asarray(obs_seq, np.float16),
+        np.asarray(act_seq, np.int32),
+        np.asarray(busy_seq),
+    )
 
 
 def evaluate_policy(params, net, net_params, episodes, key,

@@ -71,6 +71,58 @@ def test_bc_trains_and_evaluates(tiny_h5):
     assert ev["pick_rate"] >= 0
 
 
+def test_dagger_collect_and_aggregate_retrain(tiny_h5):
+    """DAgger round in miniature: collect clone-visited states with
+    expert labels (collect_dagger), aggregate with the base arrays, and
+    continue training from the current params."""
+    import jax
+
+    from swarm_ode_tpu.config import EnvConfig
+    from swarm_ode_tpu.env.layout import build_layout
+    from swarm_ode_tpu.env.state import make_params
+    from swarm_ode_tpu.train import train_bc as bc
+    from swarm_ode_tpu.train.run_rl import RLRunConfig, _make_network
+
+    env_id = "tarware-tiny-3agvs-2pickers-partialobs-v1"
+    cfg = bc.BCConfig(env_id=env_id, files=[tiny_h5], net="gnn",
+                      hidden_dim=16, epochs=1, batch_size=32,
+                      step_stride=8)
+    out = bc.train_bc(cfg, verbose=False)
+
+    env_cfg = EnvConfig.from_env_id(env_id)
+    lay = build_layout(env_cfg)
+    params = make_params(env_cfg, lay)
+    net = _make_network(
+        RLRunConfig(net="gnn", hidden_dim=16),
+        params.num_actions, params.num_agvs, params.num_pickers,
+        coord_scale=1.0 / float(max(params.grid_h, params.grid_w)),
+    )
+    E, steps = 2, 40
+    o, a, b = bc.collect_dagger(params, lay, net, out["params"], E,
+                                jax.random.PRNGKey(5), beta=0.5,
+                                steps=steps)
+    assert o.shape == (E * steps, params.num_agents,
+                       119) and o.dtype == np.float16
+    assert a.shape == b.shape == (E * steps, params.num_agents)
+    assert a.min() >= 0 and a.max() < params.num_actions
+    # Expert labels are real decisions: some idle rows pick racks.
+    assert ((a > 0) & ~b).any()
+
+    # Aggregate + continue training from the current params.
+    base = bc.load_decision_arrays([tiny_h5], stride=8)
+    e_ids = int(base[3].max()) + 1 + np.tile(np.arange(E, dtype=np.int32),
+                                             steps)
+    agg = (
+        np.concatenate([base[0], o]),
+        np.concatenate([base[1], a]),
+        np.concatenate([base[2], b]),
+        np.concatenate([base[3], e_ids]),
+    )
+    out2 = bc.train_bc(cfg, verbose=False, arrays=agg,
+                       init_params=out["params"])
+    assert np.isfinite(out2["history"][-1]["train_loss"])
+
+
 def test_bc_checkpoint_roundtrip(tiny_h5, tmp_path):
     """BC params save under the q_params key and restore into the same
     network — the RL warm-start contract."""

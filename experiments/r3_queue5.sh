@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3 TPU queue, part 5 — DAgger at reference scale + COMA-checkpoint
+# coordination eval. Waits for queue4 (experiments/r3_queue4.sh).
+cd /root/repo
+MEDIUM=tarware-medium-19agvs-9pickers-partialobs-v1
+
+stage() {
+  local name=$1; shift
+  echo "=== $(date -u +%H:%M:%S) stage $name: $*" >> /tmp/r3_queue.log
+  "$@" > "/tmp/r3_${name}.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) stage $name exit $?" >> /tmp/r3_queue.log
+}
+
+Q4PID=$(cat /tmp/r3_queue4.pid 2>/dev/null)
+while [ -n "$Q4PID" ] && kill -0 "$Q4PID" 2>/dev/null; do
+  sleep 60
+done
+until timeout 240 python3 -c "import jax; jax.devices()" 2>/dev/null; do
+  echo "=== $(date -u +%H:%M:%S) queue5: TPU still unavailable" >> /tmp/r3_queue.log
+  sleep 60
+done
+echo "=== $(date -u +%H:%M:%S) queue5 start" >> /tmp/r3_queue.log
+
+# Coordination as a pure operator on the trained COMA checkpoint
+# (argmax eval; minutes).
+stage P_coma_coord_eval_base python3 experiments/eval_rl_checkpoint.py \
+  --resume_from runs/coma_medium/ckpt --algo coma --seeds 2 \
+  --eval_episodes 8 --out runs/coord_eval_tpu.jsonl
+stage P_coma_coord_eval_coord python3 experiments/eval_rl_checkpoint.py \
+  --resume_from runs/coma_medium/ckpt --algo coma --seeds 2 \
+  --eval_episodes 8 --coordinated --out runs/coord_eval_tpu.jsonl
+
+# DAgger at reference scale: start from the base datasets, 4 rounds of
+# 64 clone-rolled episodes with stateless-expert relabeling.
+stage Q_dagger_medium python3 experiments/medium_dagger.py --env "$MEDIUM" \
+  --net gnn --hidden_dim 64 --rounds 4 --episodes_per_round 64 \
+  --epochs0 30 --epochs_per_round 8 --stride 2 --eval_episodes 8
+
+echo "=== $(date -u +%H:%M:%S) queue5 done" >> /tmp/r3_queue.log

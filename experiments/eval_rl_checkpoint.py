@@ -30,6 +30,9 @@ p.add_argument("--eval_episodes", type=int, default=8)
 p.add_argument("--seeds", type=int, default=3,
                help="independent probe repeats (different env seeds)")
 p.add_argument("--coordinated", action="store_true")
+p.add_argument("--stochastic", action="store_true",
+               help="evaluate the training-time action distribution "
+                    "(COMA: sampled policy) instead of greedy")
 p.add_argument("--cpu", action="store_true",
                help="force the CPU backend (TPU busy/down)")
 p.add_argument("--out", default=None, help="append one JSON line here")
@@ -58,6 +61,7 @@ for s in range(args.seeds):
         seed=1_000_003 * (s + 1),
         resume_from=args.resume_from,
         coordinated=args.coordinated,
+        eval_stochastic=args.stochastic,
     )
     out = run_marl(cfg, verbose=True)
     probes.append(out["history"][0])
@@ -67,6 +71,7 @@ summary = {
     "checkpoint": args.resume_from,
     "env_id": args.env_id,
     "coordinated": bool(args.coordinated),
+    "stochastic": bool(args.stochastic),
     "eval_episodes": args.eval_episodes,
     "seeds": args.seeds,
     "pick_rates": rates,

@@ -102,6 +102,12 @@ class RLRunConfig:
     # here include epsilon-exploration noise. 0 = off.
     eval_every: int = 0
     eval_episodes: int = 8
+    # Evaluate with training-time action semantics instead of greedy:
+    # COMA samples its policy (the distribution the return was earned
+    # with), value-based agents keep epsilon-greedy at their restored
+    # epsilon. Diagnoses argmax-degenerate stochastic policies (the
+    # trained COMA checkpoint delivers 0 under argmax — RESULTS.md).
+    eval_stochastic: bool = False
     # Resume the agent state (params/target/opt/epsilon) from a previous
     # run's checkpoint dir. The reference has no resume anywhere
     # (SURVEY.md §5 checkpoint row).
@@ -488,11 +494,13 @@ def run_marl(cfg: RLRunConfig, logger: Optional[MetricsLogger] = None,
             if is_gru:
                 out = net.apply(_agent_params(astate), g, *hidden)
                 new_hidden = (out["agv_hidden"], out["picker_hidden"])
-                actions = agent.act(astate, g, masks, ka, training=False,
+                actions = agent.act(astate, g, masks, ka,
+                                    training=cfg.eval_stochastic,
                                     extras=hidden, active=~es.agent_busy)
             else:
                 new_hidden = hidden
-                actions = agent.act(astate, g, masks, ka, training=False,
+                actions = agent.act(astate, g, masks, ka,
+                                    training=cfg.eval_stochastic,
                                     active=~es.agent_busy)
             es2, rew, done, info = step_mod.step(params, es, actions)
             obs2 = observations.observe(params, es2)

@@ -24,6 +24,8 @@ p.add_argument("--clip_eps", type=float, default=0.2)
 p.add_argument("--init_from", default=None,
                help="BC/DAgger checkpoint dir (q_params) to warm-start")
 p.add_argument("--no_coordinated", action="store_true")
+p.add_argument("--mesh_devices", type=int, default=0,
+               help="dp-shard envs over the first N devices (0 = one)")
 p.add_argument("--eval_every", type=int, default=25)
 p.add_argument("--eval_episodes", type=int, default=8)
 p.add_argument("--seed", type=int, default=0)
@@ -60,6 +62,7 @@ cfg = MAPPOConfig(
     clip_eps=args.clip_eps,
     coordinated=not args.no_coordinated,
     init_from=args.init_from,
+    mesh_devices=args.mesh_devices,
     eval_every=args.eval_every,
     eval_episodes=args.eval_episodes,
     seed=args.seed,

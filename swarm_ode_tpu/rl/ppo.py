@@ -66,6 +66,9 @@ class MAPPOConfig:
     # Warm start: checkpoint dir holding {'q_params': ...} from
     # train/train_bc.py (net/hidden_dim must match).
     init_from: Optional[str] = None
+    # Multi-chip data parallelism: shard the env dimension over the
+    # first N devices (0 = single device). num_envs must be divisible.
+    mesh_devices: int = 0
     seed: int = 0
     steps_override: int = 0  # 0 = env max_steps; short episodes for smokes
     checkpoint_dir: Optional[str] = None
@@ -172,8 +175,7 @@ def run_mappo(cfg: MAPPOConfig, verbose: bool = True,
         return taken, ent
 
     # ---------------- collection: one stride = B episodes of T steps ----
-    @jax.jit
-    def collect(actor_params, critic_params, key):
+    def collect_impl(actor_params, critic_params, key):
         kr, key = jax.random.split(key)
         es = jax.vmap(step_mod.reset, in_axes=(None, 0))(
             params, jax.random.split(kr, B)
@@ -248,6 +250,38 @@ def run_mappo(cfg: MAPPOConfig, verbose: bool = True,
         traj["adv"] = advs
         traj["ret"] = returns
         return traj
+
+    # Multi-chip: dp-shard the env dimension of every (T, B, ...)
+    # trajectory array over a 1-D device mesh and let XLA partition the
+    # whole stride (the scaling-book recipe: annotate shardings, let the
+    # compiler insert collectives). Per-env compute — rollout, policy
+    # forward, GAE — is embarrassingly parallel over envs, so collection
+    # runs without any cross-device traffic; the PPO update's shuffled
+    # minibatches and the replicated-parameter gradients become
+    # all-gathers/all-reduces over ICI. The per-env trajectory math is
+    # bitwise identical to the single-device run
+    # (tests/test_mappo.py::test_mappo_mesh_parity).
+    if cfg.mesh_devices:
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if B % cfg.mesh_devices:
+            raise ValueError(
+                f"num_envs={B} must divide over mesh_devices="
+                f"{cfg.mesh_devices}"
+            )
+        mesh = Mesh(
+            np.asarray(jax.devices()[: cfg.mesh_devices]), ("dp",)
+        )
+        dp = NamedSharding(mesh, P(None, "dp"))
+        traj_shardings = {
+            "obs": dp, "gs": dp, "actions": dp, "logp": dp,
+            "active": dp, "reward": dp, "deliv": dp, "adv": dp,
+            "ret": dp,
+        }
+        collect = jax.jit(collect_impl, out_shardings=traj_shardings)
+    else:
+        collect = jax.jit(collect_impl)
 
     # ---------------- update: K epochs of shuffled minibatches ----------
     N = T * B

@@ -108,6 +108,64 @@ def test_coma_driver_smoke(tmp_path):
     assert any("eval_pick_rate" in r for r in rows), "greedy probe missing"
 
 
+@pytest.fixture(scope="module")
+def tiny_h5(tmp_path_factory):
+    """A 2-episode tiny dataset shared by the BC/DAgger driver smokes."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from swarm_ode_tpu.data.collect import collect_data
+
+    path = str(tmp_path_factory.mktemp("drv") / "tiny.h5")
+    collect_data(
+        "tarware-tiny-3agvs-2pickers-partialobs-v1", num_episodes=2,
+        seed=0, out_path=path, batch=2, chunk=50, verbose=False,
+    )
+    return path
+
+
+def test_bc_driver_smoke(tiny_h5, tmp_path):
+    out = tmp_path / "bc"
+    _run(
+        "medium_bc.py", "--env", "tarware-tiny-3agvs-2pickers-partialobs-v1",
+        "--files", tiny_h5, "--net", "gnn", "--hidden_dim", "8",
+        "--epochs", "1", "--stride", "8", "--eval_episodes", "1",
+        "--out_dir", str(out),
+    )
+    result = json.loads((out / "result.json").read_text())
+    assert "independent" in result["eval"] and "coordinated" in result["eval"]
+    assert (out / "ckpt").exists()
+
+
+def test_dagger_driver_smoke(tiny_h5, tmp_path):
+    out = tmp_path / "dagger"
+    _run(
+        "medium_dagger.py", "--env",
+        "tarware-tiny-3agvs-2pickers-partialobs-v1",
+        "--files", tiny_h5, "--net", "gnn", "--hidden_dim", "8",
+        "--rounds", "1", "--episodes_per_round", "2", "--epochs0", "1",
+        "--epochs_per_round", "1", "--stride", "8",
+        "--eval_episodes", "1", "--out_dir", str(out),
+    )
+    result = json.loads((out / "result.json").read_text())
+    assert result["rounds_log"][-1]["round"] == 0
+    assert "eval" in result["rounds_log"][-1]
+
+
+def test_mappo_driver_smoke(tmp_path):
+    out = tmp_path / "mappo"
+    _run(
+        "medium_mappo.py", "--env",
+        "tarware-tiny-3agvs-2pickers-partialobs-v1",
+        "--net", "gnn", "--hidden_dim", "8", "--num_envs", "2",
+        "--num_strides", "1", "--minibatch", "16",
+        "--eval_every", "1", "--eval_episodes", "1", "--out_dir", str(out),
+    )
+    result = json.loads((out / "result.json").read_text())
+    assert result["history"] and "pg_loss" in result["history"][0]
+    assert "eval_pick_rate" in result["history"][-1]
+
+
 def test_qmix_driver_smoke(tmp_path):
     """The v2 QMIX recipe driver runs end-to-end with a greedy eval probe."""
     out = tmp_path / "qmix"

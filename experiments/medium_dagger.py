@@ -96,6 +96,7 @@ rounds_log = [{"round": -1, "history": out["history"]}]
 
 key = jax.random.PRNGKey(args.seed + 99)
 steps = env_cfg.max_steps or 500
+best_eval = {"round": -1, "pick_rate": -1.0}
 for r in range(args.rounds):
     beta = args.beta0 * (0.5 ** r)
     key, kc, ke = jax.random.split(key, 3)
@@ -132,8 +133,21 @@ for r in range(args.rounds):
         {"round": r, "beta": beta, "rows": int(obs_np.shape[0]),
          "history": out["history"], "eval": evals}
     )
+    # Keep the best policy by coordinated rollout quality, not the last
+    # round's: per-round evals are noisy and a retrain can regress (the
+    # CPU probe saw 100.4 -> 85.3 between rounds at 4 eval episodes).
+    coord_rate = evals["coordinated"]["pick_rate"]
+    if coord_rate > best_eval["pick_rate"]:
+        best_eval = {"round": r, "pick_rate": coord_rate}
+        from swarm_ode_tpu.utils.checkpoint import CheckpointManager
+
+        CheckpointManager(str(OUT / "ckpt_best")).save(
+            r, {"q_params": jax.tree.map(np.asarray, net_params)},
+            force=True,
+        )
 
 result = {
+    "best_eval": best_eval,
     "env": args.env, "net": args.net, "rounds": args.rounds,
     "episodes_per_round": args.episodes_per_round,
     "epochs0": args.epochs0, "epochs_per_round": args.epochs_per_round,

@@ -20,9 +20,10 @@ until timeout 240 python3 -c "import jax; jax.devices()" 2>/dev/null; do
 done
 echo "=== $(date -u +%H:%M:%S) queue6 start" >> /tmp/r3_queue.log
 
-# MAPPO warm-started from the DAgger clone (falls back to the BC clone
-# if DAgger's checkpoint is absent).
-INIT=runs/dagger_medium/ckpt
+# MAPPO warm-started from the DAgger clone — best-by-rollout checkpoint
+# first, then last-round, then the BC clone.
+INIT=runs/dagger_medium/ckpt_best
+[ -d "$INIT" ] || INIT=runs/dagger_medium/ckpt
 [ -d "$INIT" ] || INIT=runs/bc_medium/ckpt
 stage R_mappo_dagger python3 experiments/medium_mappo.py \
   --num_strides 125 --init_from "$INIT" --lr 1e-4 \

@@ -4,8 +4,16 @@
 cd /root/repo
 MEDIUM=tarware-medium-19agvs-9pickers-partialobs-v1
 
+# Stages stop starting after the deadline (UTC HHMM) or when the stop
+# file exists, so a late TPU recovery can't leave a stage holding the
+# chip when the round-end driver needs it (one TPU process at a time).
+DEADLINE=${QUEUE_DEADLINE:-1045}
 stage() {
   local name=$1; shift
+  if [ -f /tmp/r3_queue_stop ] || [ "$(date -u +%H%M)" -ge "$DEADLINE" ]; then
+    echo "=== $(date -u +%H:%M:%S) stage $name SKIPPED (deadline/stop)" >> /tmp/r3_queue.log
+    return 0
+  fi
   echo "=== $(date -u +%H:%M:%S) stage $name: $*" >> /tmp/r3_queue.log
   "$@" > "/tmp/r3_${name}.log" 2>&1
   echo "=== $(date -u +%H:%M:%S) stage $name exit $?" >> /tmp/r3_queue.log

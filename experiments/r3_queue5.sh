@@ -38,10 +38,14 @@ stage P_coma_coord_eval_coord python3 experiments/eval_rl_checkpoint.py \
   --resume_from runs/coma_medium/ckpt --algo coma --seeds 2 \
   --eval_episodes 8 --coordinated --out runs/coord_eval_tpu.jsonl
 
-# DAgger at reference scale: start from the base datasets, 4 rounds of
-# 64 clone-rolled episodes with stateless-expert relabeling.
+# DAgger at scale. CPU findings (RESULTS.md): rollout quality is
+# NON-monotone in imitation strength — the 300-episode/12-epoch recipe
+# rolled out worse (45-69 coord) than the 100-episode/8-epoch probe
+# (78-85) despite better decision accuracy. Use the probe-like recipe
+# with moderate data and rely on best-by-rollout checkpoint selection.
 stage Q_dagger_medium python3 experiments/medium_dagger.py --env "$MEDIUM" \
-  --net gnn --hidden_dim 64 --rounds 4 --episodes_per_round 64 \
-  --epochs0 30 --epochs_per_round 8 --stride 2 --eval_episodes 8
+  --net gnn --hidden_dim 64 --rounds 5 --episodes_per_round 32 \
+  --epochs0 10 --epochs_per_round 4 --stride 4 --max_episodes 400 \
+  --eval_episodes 8
 
 echo "=== $(date -u +%H:%M:%S) queue5 done" >> /tmp/r3_queue.log

@@ -92,6 +92,14 @@ for coord in (False, True):
         params, net, out["params"], args.eval_episodes,
         jax.random.PRNGKey(args.seed + 17), coordinated=coord,
     )
+# Coordinated sampling at temperature: the measured antidote to argmax
+# brittleness (RESULTS.md — the over-fit clone rolls 72 argmax vs ~125
+# sampled at T=1.5-2).
+for T in (1.5, 2.0):
+    evals[f"sampled_T{T}"] = bc.evaluate_policy(
+        params, net, out["params"], args.eval_episodes,
+        jax.random.PRNGKey(args.seed + 23), temperature=T,
+    )
 
 result = {
     "env": args.env,

@@ -129,14 +129,19 @@ for r in range(args.rounds):
             bc.evaluate_policy(params, net, net_params,
                                args.eval_episodes, ke, coordinated=coord)
         )
+    evals["sampled_T1.5"] = bc.evaluate_policy(
+        params, net, net_params, args.eval_episodes, ke, temperature=1.5
+    )
     rounds_log.append(
         {"round": r, "beta": beta, "rows": int(obs_np.shape[0]),
          "history": out["history"], "eval": evals}
     )
-    # Keep the best policy by coordinated rollout quality, not the last
-    # round's: per-round evals are noisy and a retrain can regress (the
-    # CPU probe saw 100.4 -> 85.3 between rounds at 4 eval episodes).
-    coord_rate = evals["coordinated"]["pick_rate"]
+    # Keep the best policy by rollout quality (best of the serving-time
+    # operators), not the last round's: per-round evals are noisy and a
+    # retrain can regress (the CPU probe saw 100.4 -> 85.3 between
+    # rounds at 4 eval episodes).
+    coord_rate = max(evals["coordinated"]["pick_rate"],
+                     evals["sampled_T1.5"]["pick_rate"])
     if coord_rate > best_eval["pick_rate"]:
         best_eval = {"round": r, "pick_rate": coord_rate}
         from swarm_ode_tpu.utils.checkpoint import CheckpointManager

@@ -34,14 +34,23 @@ from swarm_ode_tpu.rl import coordination
 
 
 def make_policy_fn(env_params, net, net_params,
-                   coordinated: bool = False) -> Callable:
-    """obs (A, obs_len) -> greedy actions (A,) int32, as a pure function.
+                   coordinated: bool = False,
+                   temperature: float = 0.0) -> Callable:
+    """obs (A, obs_len) -> actions (A,) int32, as a pure function.
+
+    temperature=0: greedy (argmax, optionally through the claim
+    auction); the policy is a function of the observation alone.
+    temperature>0: claim-masked sequential sampling from
+    softmax(scores/T) — the signature becomes (obs, seed: uint32) so the
+    server controls the randomness. Sampling is the measured fix for
+    argmax brittleness of cloned dispatchers (RESULTS.md: 72 -> ~125
+    pick rate on the same checkpoint).
 
     `net` follows the composite protocol (apply(params, graph) ->
     {'agv_q_values', 'picker_q_values'}) shared by the RL networks and
     the BC clone (train/run_rl._make_network)."""
 
-    def policy(obs: jnp.ndarray) -> jnp.ndarray:
+    def scores_and_masks(obs):
         g = hetero_graph_from_obs(env_params, obs)
         out = net.apply(net_params, g)
         scores = jnp.concatenate(
@@ -49,11 +58,28 @@ def make_policy_fn(env_params, net, net_params,
         )
         a_f, p_f, l_f = split_observation(env_params, obs)
         masks = masks_from_feats(env_params, a_f, p_f, l_f)
+        active = ~coordination.busy_from_feats(a_f, p_f)
+        return scores, masks, active
+
+    rack_start = 1 + env_params.num_goals
+
+    if temperature > 0:
+
+        def policy(obs: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+            scores, masks, active = scores_and_masks(obs)
+            return coordination.coordinated_sample(
+                scores / temperature, masks, env_params.num_agvs,
+                rack_start, jax.random.PRNGKey(seed), active=active,
+            )
+
+        return policy
+
+    def policy(obs: jnp.ndarray) -> jnp.ndarray:
+        scores, masks, active = scores_and_masks(obs)
         if coordinated:
             return coordination.coordinated_argmax(
-                scores, masks, env_params.num_agvs,
-                1 + env_params.num_goals,
-                active=~coordination.busy_from_feats(a_f, p_f),
+                scores, masks, env_params.num_agvs, rack_start,
+                active=active,
             )
         return jnp.argmax(
             jnp.where(masks > 0, scores, -jnp.inf), axis=-1
@@ -62,21 +88,41 @@ def make_policy_fn(env_params, net, net_params,
     return policy
 
 
-def export_policy(policy_fn: Callable, example_obs) -> bytes:
-    """Trace + serialize a policy to a hermetic StableHLO blob."""
-    spec = jax.ShapeDtypeStruct(example_obs.shape, jnp.float32)
-    exported = jax_export.export(jax.jit(policy_fn))(spec)
+def export_policy(policy_fn: Callable, example_obs,
+                  stochastic: bool = False) -> bytes:
+    """Trace + serialize a policy to a hermetic StableHLO blob.
+
+    stochastic=True exports the (obs, seed) calling convention of a
+    temperature policy."""
+    obs_spec = jax.ShapeDtypeStruct(example_obs.shape, jnp.float32)
+    if stochastic:
+        seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+        exported = jax_export.export(jax.jit(policy_fn))(obs_spec,
+                                                         seed_spec)
+    else:
+        exported = jax_export.export(jax.jit(policy_fn))(obs_spec)
     return bytes(exported.serialize())
 
 
 def load_policy(blob: bytes) -> Callable:
-    """Deserialize an exported policy into a callable obs -> actions.
+    """Deserialize an exported policy into a callable obs[, seed] ->
+    actions (seed required iff the blob was exported stochastic).
 
     The result runs under jit on the current backend; the original
     Python model code and parameters are NOT needed."""
     exported = jax_export.deserialize(blob)
+    n_args = len(exported.in_avals)
 
-    def policy(obs):
+    def policy(obs, seed=None):
+        if n_args == 2:
+            if seed is None:
+                raise ValueError(
+                    "stochastic policy blob: pass seed=<uint32>"
+                )
+            return exported.call(
+                jnp.asarray(obs, jnp.float32),
+                jnp.asarray(seed, jnp.uint32),
+            )
         return exported.call(jnp.asarray(obs, jnp.float32))
 
     return policy

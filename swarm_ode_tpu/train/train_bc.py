@@ -332,22 +332,33 @@ def collect_dagger(params, layout, net, net_params, episodes, key,
 
 
 def evaluate_policy(params, net, net_params, episodes, key,
-                    coordinated=False, verbose=True) -> Dict:
-    """Pure-greedy rollout of a cloned policy: argmax over masked logits
-    (optionally through the claim auction), E fresh envs in lockstep —
-    the reference's greedy stat-line convention (run_heuristic.py:30-58).
-    """
+                    coordinated=False, temperature: float = 0.0,
+                    verbose=True) -> Dict:
+    """Rollout evaluation of a cloned policy, E fresh envs in lockstep —
+    the reference's stat-line convention (run_heuristic.py:30-58).
+
+    temperature=0: argmax over masked logits (optionally through the
+    claim auction). temperature>0: coordinated sampling from
+    softmax(logits/T) — the measured antidote to argmax brittleness: the
+    over-fit medium clone rolls 72 under argmax but ~125 at T=1.5-2,
+    essentially matching the dispatcher (RESULTS.md, the non-monotone
+    imitation finding)."""
     E = episodes
     steps = params.max_steps or 500
     rack_start = 1 + params.num_goals
 
-    def act(obs, es):
+    def act(obs, es, k):
         g = hetero_graph_from_obs(params, obs)
         out = net.apply(net_params, g)
         logits = jnp.concatenate(
             [out["agv_q_values"], out["picker_q_values"]], axis=0
         )
         masks = observations.compute_valid_action_masks(params, es)
+        if temperature > 0:
+            return coordination.coordinated_sample(
+                logits / temperature, masks, params.num_agvs, rack_start,
+                k, active=~es.agent_busy,
+            )
         if coordinated:
             return coordination.coordinated_argmax(
                 logits, masks, params.num_agvs, rack_start,
@@ -359,14 +370,15 @@ def evaluate_policy(params, net, net_params, episodes, key,
 
     @jax.jit
     def roll(key):
+        kr, key = jax.random.split(key)
         es = jax.vmap(step_mod.reset, in_axes=(None, 0))(
-            params, jax.random.split(key, E)
+            params, jax.random.split(kr, E)
         )
         obs = jax.vmap(lambda e: observations.observe(params, e))(es)
 
-        def body(carry, _):
+        def body(carry, k):
             es, obs = carry
-            actions = jax.vmap(act)(obs, es)
+            actions = jax.vmap(act)(obs, es, jax.random.split(k, E))
             es2, rew, done, info = jax.vmap(
                 lambda e, a: step_mod.step(params, e, a)
             )(es, actions)
@@ -377,22 +389,26 @@ def evaluate_policy(params, net, net_params, episodes, key,
             )
 
         (_, _), (rews, delivs, clashes) = jax.lax.scan(
-            body, (es, obs), None, length=steps
+            body, (es, obs), jax.random.split(key, steps)
         )
         return rews.sum() / E, delivs.sum() / E, clashes.sum() / E
 
     r, d, c = jax.tree.map(float, roll(key))
+    tag = f" T={temperature}" if temperature > 0 else (
+        " coord" if coordinated else ""
+    )
     res = {
         "episodes": E,
         "pick_rate": pick_rate(d, steps),
         "deliveries": d,
         "return": r,
         "clashes": c,
-        "coordinated": bool(coordinated),
+        "coordinated": bool(coordinated or temperature > 0),
+        "temperature": temperature,
     }
     if verbose:
         print(
-            f"[bc eval eps=0{' coord' if coordinated else ''}] "
+            f"[bc eval{tag}] "
             f"pick_rate={res['pick_rate']:.2f} deliveries={d:.1f} "
             f"clashes={c:.1f} ({E} episodes)",
             flush=True,

@@ -62,6 +62,24 @@ def test_exported_blob_is_file_persistable(setup, tmp_path):
     )
 
 
+def test_stochastic_export_roundtrip(setup):
+    """Temperature policies export with the (obs, seed) convention:
+    same seed -> identical served actions; valid actions always."""
+    params, net, net_params, es, obs = setup
+    policy = make_policy_fn(params, net, net_params, temperature=1.5)
+    blob = export_policy(policy, obs, stochastic=True)
+    served = load_policy(blob)
+    masks = np.asarray(observations.compute_valid_action_masks(params, es))
+    for seed in (0, 7, 123):
+        want = np.asarray(policy(obs, jnp.uint32(seed)))
+        got = np.asarray(served(np.asarray(obs, np.float32), seed))
+        np.testing.assert_array_equal(got, want)
+        assert all(masks[i, a] > 0 for i, a in enumerate(got))
+    # Missing seed is a loud error, not a silent greedy fallback.
+    with pytest.raises(ValueError, match="seed"):
+        served(np.asarray(obs, np.float32))
+
+
 def test_exported_policy_actions_are_valid(setup):
     params, net, net_params, es, obs = setup
     served = load_policy(

@@ -28,6 +28,9 @@ p.add_argument("--epochs0", type=int, default=20,
 p.add_argument("--epochs_per_round", type=int, default=6)
 p.add_argument("--beta0", type=float, default=0.25,
                help="round-0 expert-mixture rate, halved each round")
+p.add_argument("--collect_temperature", type=float, default=0.0,
+               help="collect rollouts with the sampled serving operator "
+                    "at this temperature (0 = coordinated argmax)")
 p.add_argument("--batch_size", type=int, default=64)
 p.add_argument("--lr", type=float, default=1e-3)
 p.add_argument("--stride", type=int, default=2)
@@ -103,6 +106,7 @@ for r in range(args.rounds):
     o, a, b = bc.collect_dagger(
         params, lay, net, net_params, args.episodes_per_round, kc,
         beta=beta, coordinated=True,
+        temperature=args.collect_temperature,
     )
     # Flattened step-major: row t*E + e belongs to rollout episode e.
     base_ep = int(ep_np.max()) + 1

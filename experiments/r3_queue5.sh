@@ -46,6 +46,6 @@ stage P_coma_coord_eval_coord python3 experiments/eval_rl_checkpoint.py \
 stage Q_dagger_medium python3 experiments/medium_dagger.py --env "$MEDIUM" \
   --net gnn --hidden_dim 64 --rounds 5 --episodes_per_round 32 \
   --epochs0 10 --epochs_per_round 4 --stride 4 --max_episodes 400 \
-  --eval_episodes 8
+  --collect_temperature 2.0 --eval_episodes 8
 
 echo "=== $(date -u +%H:%M:%S) queue5 done" >> /tmp/r3_queue.log

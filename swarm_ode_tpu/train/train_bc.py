@@ -257,7 +257,7 @@ def train_bc(cfg: BCConfig, verbose: bool = True, arrays=None,
 
 def collect_dagger(params, layout, net, net_params, episodes, key,
                    beta: float = 0.0, coordinated: bool = True,
-                   steps: int = 0):
+                   temperature: float = 0.0, steps: int = 0):
     """DAgger data collection: roll the CLONE (or a beta-mixture with the
     expert), label every visited state with the stateless expert oracle
     (policies/heuristic.make_stateless_expert — the dispatcher's action
@@ -281,13 +281,23 @@ def collect_dagger(params, layout, net, net_params, episodes, key,
     steps = steps or params.max_steps or 500
     rack_start = 1 + params.num_goals
 
-    def clone_act(obs, es):
+    def clone_act(obs, es, k):
         g = hetero_graph_from_obs(params, obs)
         out = net.apply(net_params, g)
         scores = jnp.concatenate(
             [out["agv_q_values"], out["picker_q_values"]], axis=0
         )
         masks = observations.compute_valid_action_masks(params, es)
+        if temperature > 0:
+            # Collect under the SERVING operator (sampled at T): the
+            # aggregated states then match the deployed policy's visit
+            # distribution — the DAgger premise, applied to the operator
+            # actually used at serving time (RESULTS.md temperature
+            # table).
+            return coordination.coordinated_sample(
+                scores / temperature, masks, params.num_agvs, rack_start,
+                k, active=~es.agent_busy,
+            )
         if coordinated:
             return coordination.coordinated_argmax(
                 scores, masks, params.num_agvs, rack_start,
@@ -307,8 +317,9 @@ def collect_dagger(params, layout, net, net_params, episodes, key,
 
         def body(carry, k):
             es, obs = carry
+            k, kc = jax.random.split(k)
             a_exp = jax.vmap(lambda e: expert(params, e))(es)
-            a_clone = jax.vmap(clone_act)(obs, es)
+            a_clone = jax.vmap(clone_act)(obs, es, jax.random.split(kc, E))
             take_exp = jax.random.uniform(k, (E,)) < beta
             a = jnp.where(take_exp[:, None], a_exp, a_clone)
             es2, _, _, _ = jax.vmap(

@@ -133,9 +133,10 @@ for r in range(args.rounds):
             bc.evaluate_policy(params, net, net_params,
                                args.eval_episodes, ke, coordinated=coord)
         )
-    evals["sampled_T1.5"] = bc.evaluate_policy(
-        params, net, net_params, args.eval_episodes, ke, temperature=1.5
-    )
+    for T in (1.5, 3.0):
+        evals[f"sampled_T{T}"] = bc.evaluate_policy(
+            params, net, net_params, args.eval_episodes, ke, temperature=T
+        )
     rounds_log.append(
         {"round": r, "beta": beta, "rows": int(obs_np.shape[0]),
          "history": out["history"], "eval": evals}
@@ -145,7 +146,8 @@ for r in range(args.rounds):
     # retrain can regress (the CPU probe saw 100.4 -> 85.3 between
     # rounds at 4 eval episodes).
     coord_rate = max(evals["coordinated"]["pick_rate"],
-                     evals["sampled_T1.5"]["pick_rate"])
+                     evals["sampled_T1.5"]["pick_rate"],
+                     evals["sampled_T3.0"]["pick_rate"])
     if coord_rate > best_eval["pick_rate"]:
         best_eval = {"round": r, "pick_rate": coord_rate}
         from swarm_ode_tpu.utils.checkpoint import CheckpointManager

@@ -22,6 +22,9 @@ p.add_argument("--env_id",
 p.add_argument("--net", default="gnode")
 p.add_argument("--hidden_dim", type=int, default=64)
 p.add_argument("--coordinated", action="store_true")
+p.add_argument("--temperature", type=float, default=0.0,
+               help="export a stochastic (obs, seed) policy sampling "
+                    "at softmax(scores/T) through the claim auction")
 p.add_argument("--out", default=None, help="output .stablehlo path")
 p.add_argument("--cpu", action="store_true")
 args = p.parse_args()
@@ -97,16 +100,22 @@ else:
     )
 
 policy = make_policy_fn(params, net, q_params,
-                        coordinated=args.coordinated)
-blob = export_policy(policy, obs)
+                        coordinated=args.coordinated,
+                        temperature=args.temperature)
+stochastic = args.temperature > 0
+blob = export_policy(policy, obs, stochastic=stochastic)
 
 # Verification: reloaded blob == live policy over rolled steps.
 served = load_policy(blob)
 cur = es
 o = obs
-for _ in range(5):
-    want = np.asarray(policy(o))
-    got = np.asarray(served(np.asarray(o, np.float32)))
+for t in range(5):
+    if stochastic:
+        want = np.asarray(policy(o, jax.numpy.uint32(t)))
+        got = np.asarray(served(np.asarray(o, np.float32), t))
+    else:
+        want = np.asarray(policy(o))
+        got = np.asarray(served(np.asarray(o, np.float32)))
     assert (want == got).all(), "served blob diverged from live policy"
     cur, _, _, _ = step_mod.step(params, cur, jax.numpy.asarray(want))
     o = observations.observe(params, cur)
@@ -119,7 +128,8 @@ out.write_bytes(blob)
 meta = {
     "ckpt": args.ckpt, "kind": args.kind, "env_id": args.env_id,
     "net": args.net, "hidden_dim": args.hidden_dim,
-    "coordinated": bool(args.coordinated), "bytes": len(blob),
+    "coordinated": bool(args.coordinated),
+    "temperature": args.temperature, "bytes": len(blob),
     "sha256": hashlib.sha256(blob).hexdigest(),
     "verified_steps": 5,
 }

@@ -77,13 +77,37 @@ def picker_zones(layout: Layout, num_pickers: int) -> np.ndarray:
     return group_to_picker[layout.rack_group_action_order]
 
 
+def _sampled_argmin(d: jnp.ndarray, key, temperature) -> jnp.ndarray:
+    """argmin of d, Gumbel-perturbed: sample index i with probability
+    proportional to exp(-d_i / T) over the valid (d < INF32) entries.
+
+    T -> 0 recovers argmin with ties broken UNIFORMLY AT RANDOM instead
+    of lowest-index-first (distances are integer Manhattan cells, so any
+    T << 1 only randomizes exact ties). Used by the stochastic-expert
+    ablation (experiments/stochastic_expert_eval.py): is the learned
+    dispatcher's paired win over the FIFO expert recoverable by just
+    de-determinizing the expert's own choices?"""
+    g = jax.random.gumbel(key, d.shape)
+    scores = jnp.where(d < INF32, -d / temperature + g, -jnp.inf)
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
 def heuristic_policy(
     params: EnvParams,
     zones: jnp.ndarray,  # (L,) int32 picker index per rack cell (action order)
     env_state: EnvState,
     h: HeuristicState,
+    key=None,
+    temperature: float = 0.0,
 ) -> Tuple[jnp.ndarray, HeuristicState]:
-    """One dispatcher step: returns (macro_actions (A,), new HeuristicState)."""
+    """One dispatcher step: returns (macro_actions (A,), new HeuristicState).
+
+    temperature=0 (default): the reference's deterministic dispatcher.
+    temperature>0 (requires `key`): every AGV choice site — queue-item
+    assignment, goal selection, return-cell selection — samples
+    proportional to exp(-distance/T) instead of taking the argmin
+    (_sampled_argmin). Mission structure, FIFO order, and picker zoning
+    are unchanged; only the tie-breaks/choices are randomized."""
     Na = params.num_agvs
     G, L = params.num_goals, params.num_racks
     xy = env_state.agent_xy
@@ -112,13 +136,25 @@ def heuristic_policy(
         agv_x[None, :] - q_xy[:, 0][:, None]
     )  # (R, Na)
 
+    stochastic = temperature is not None and temperature > 0
+    if stochastic:
+        if key is None:
+            raise ValueError("temperature>0 requires a PRNG key")
+        k_assign, k_goal, k_ret = jax.random.split(key, 3)
+
     def assign_one(carry, inputs):
         mission, loc, item_arr, time_arr, at_loc = carry
-        item, act_id, d_row = inputs
+        if stochastic:
+            item, act_id, d_row, kk = inputs
+        else:
+            item, act_id, d_row = inputs
         already = jnp.any(item_arr == item)
         available = (~busy) & (~carrying) & (mission == NONE)
         d = jnp.where(available, d_row, INF32)
-        closest = jnp.argmin(d)
+        if stochastic:
+            closest = _sampled_argmin(d, kk, temperature)
+        else:
+            closest = jnp.argmin(d)
         ok = (~already) & jnp.any(available) & (act_id > 0)
         mission = jnp.where(ok, mission.at[closest].set(PICKING), mission)
         loc = jnp.where(ok, loc.at[closest].set(act_id), loc)
@@ -127,10 +163,13 @@ def heuristic_policy(
         at_loc = jnp.where(ok, at_loc.at[closest].set(False), at_loc)
         return (mission, loc, item_arr, time_arr, at_loc), None
 
+    assign_xs = (q_items, q_act, q_dist)
+    if stochastic:
+        assign_xs = assign_xs + (jax.random.split(k_assign, q_items.shape[0]),)
     (mission, loc, item_arr, time_arr, at_loc), _ = jax.lax.scan(
         assign_one,
         (h.agv_mission, h.agv_loc, h.agv_item, h.agv_time, h.agv_at_loc),
-        (q_items, q_act, q_dist),
+        assign_xs,
         unroll=4,
     )
 
@@ -144,7 +183,13 @@ def heuristic_policy(
     # ---- [PICKING -> DELIVERING] (heuristic.py:88-94) ----
     p2d = elig & (mission == PICKING) & at_loc & carrying
     goal_d = dist_all[:, :G]  # (Na, G) — goal action ids are 1..G
-    closest_goal = jnp.argmin(goal_d, axis=1).astype(jnp.int32) + 1
+    if stochastic:
+        gg = jax.random.gumbel(k_goal, goal_d.shape)
+        closest_goal = (
+            jnp.argmax(-goal_d / temperature + gg, axis=1).astype(jnp.int32) + 1
+        )
+    else:
+        closest_goal = jnp.argmin(goal_d, axis=1).astype(jnp.int32) + 1
     mission = jnp.where(p2d, DELIVERING, mission)
     loc = jnp.where(p2d, closest_goal, loc)
     time_arr = jnp.where(p2d, t, time_arr)
@@ -158,8 +203,12 @@ def heuristic_policy(
 
     rack_iota = jnp.arange(L, dtype=jnp.int32)
 
-    def ret_one(carry, i):
+    def ret_one(carry, xs):
         mission, loc, time_arr, at_loc = carry
+        if stochastic:
+            i, kk = xs
+        else:
+            i = xs
         # Scatter-free "reserved" bitmap: TPU scatters are VMEM-write bound
         # (~0.12 ms each at B=1024); the (L, Na) compare+any is pure VPU.
         reserved = jnp.any(
@@ -168,7 +217,10 @@ def heuristic_policy(
         )
         cand = empty & ~reserved
         d = jnp.where(cand, dist_all[i, G:], INF32)
-        best = jnp.argmin(d).astype(jnp.int32)
+        if stochastic:
+            best = _sampled_argmin(d, kk, temperature)
+        else:
+            best = jnp.argmin(d).astype(jnp.int32)
         ok = d2r[i] & (d[best] < INF32)
         mission = jnp.where(ok, mission.at[i].set(RETURNING), mission)
         loc = jnp.where(ok, loc.at[i].set(G + 1 + best), loc)
@@ -176,8 +228,11 @@ def heuristic_policy(
         at_loc = jnp.where(ok, at_loc.at[i].set(False), at_loc)
         return (mission, loc, time_arr, at_loc), None
 
+    ret_xs = jnp.arange(Na)
+    if stochastic:
+        ret_xs = (ret_xs, jax.random.split(k_ret, Na))
     (mission, loc, time_arr, at_loc), _ = jax.lax.scan(
-        ret_one, (mission, loc, time_arr, at_loc), jnp.arange(Na), unroll=4
+        ret_one, (mission, loc, time_arr, at_loc), ret_xs, unroll=4
     )
 
     # ---- [RETURNING -> None] (heuristic.py:111-113) ----
@@ -390,12 +445,26 @@ def heuristic_episode(env, render: bool = False, seed=None):
 heuristic_episode._unseeded_counter = 0
 
 
-def make_policy(params: EnvParams, layout: Layout):
-    """Bind zones; returns policy_step(params, env_state, h) -> (actions, h)."""
+def make_policy(params: EnvParams, layout: Layout, temperature: float = 0.0):
+    """Bind zones; returns policy_step(params, env_state, h) -> (actions, h).
+
+    With temperature>0 the returned signature gains a PRNG key —
+    policy_step(params, env_state, h, key) — and every AGV choice site
+    samples proportional to exp(-distance/T) (the stochastic-expert
+    ablation; see heuristic_policy)."""
     if params.num_pickers > 0:
         zones = jnp.asarray(picker_zones(layout, params.num_pickers))
     else:
         zones = jnp.zeros(params.num_racks, jnp.int32)
+
+    if temperature and temperature > 0:
+
+        def policy_step_stoch(params_, env_state, h, key):
+            return heuristic_policy(
+                params_, zones, env_state, h, key=key, temperature=temperature
+            )
+
+        return policy_step_stoch
 
     def policy_step(params_, env_state, h):
         return heuristic_policy(params_, zones, env_state, h)

@@ -129,3 +129,48 @@ def test_heuristic_agent_only_env_delivers():
         return deliv.sum()
 
     assert int(run(jax.random.PRNGKey(0))) > 5
+
+
+def test_stochastic_dispatcher_valid_and_delivers(setup):
+    """temperature>0 dispatcher: actions stay in range, missions cycle,
+    deliveries happen, and different keys give different trajectories."""
+    cfg, lay, params = setup
+    policy = H.make_policy(params, lay, temperature=1.0)
+
+    @jax.jit
+    def run(key):
+        kr, key = jax.random.split(key)
+        es = step_mod.reset(params, kr)
+        h = H.init_state(params)
+
+        def body(carry, k):
+            es, h = carry
+            a, h = policy(params, es, h, k)
+            es, rew, done, info = step_mod.step(params, es, a)
+            return (es, h), (a, info["shelf_deliveries"])
+
+        (es, h), (acts, deliv) = jax.lax.scan(
+            body, (es, h), jax.random.split(key, 200)
+        )
+        return acts, deliv.sum()
+
+    acts1, d1 = run(jax.random.PRNGKey(3))
+    acts2, d2 = run(jax.random.PRNGKey(4))
+    a1, a2 = np.asarray(acts1), np.asarray(acts2)
+    assert a1.min() >= 0 and a1.max() <= params.num_actions - 1
+    assert int(d1) > 3 and int(d2) > 3
+    # stochastic: two keys must diverge somewhere
+    assert (a1 != a2).any()
+
+
+def test_stochastic_tiny_temperature_matches_argmin_off_ties(setup):
+    """T<<1 only randomizes exact argmin ties: the sampled choice's
+    distance equals the argmin distance."""
+    cfg, lay, params = setup
+    d = jnp.asarray([5.0, 3.0, 3.0, 9.0, jnp.inf])
+    picks = set()
+    for s in range(20):
+        i = int(H._sampled_argmin(d, jax.random.PRNGKey(s), 1e-3))
+        assert float(d[i]) == 3.0
+        picks.add(i)
+    assert picks == {1, 2}  # both ties get sampled

@@ -10,6 +10,7 @@ Skipped when the (gitignored, regenerable) dataset files are absent.
 """
 import json
 import pathlib
+import os
 import subprocess
 import sys
 
@@ -26,7 +27,12 @@ MEDIUM_SEED4000 = (
 )
 
 
-def _run(script, *flags, timeout=900):
+def _run(script, *flags, timeout=None):
+    # Default scales for contended boxes (some build VMs have 1 CPU core and
+    # run these smokes next to TPU-queue host work); override with
+    # SMOKE_DRIVER_TIMEOUT.
+    if timeout is None:
+        timeout = int(os.environ.get("SMOKE_DRIVER_TIMEOUT", "2400"))
     proc = subprocess.run(
         [sys.executable, str(REPO / "experiments" / script), "--cpu", *flags],
         capture_output=True, text=True, timeout=timeout,

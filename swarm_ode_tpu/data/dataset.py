@@ -53,11 +53,24 @@ class TrajectoryDataset:
             T = ep.shape[0]
             for t in range(T - 1):
                 self._index.append((e, t))
-        self._positions = [
-            extract_positions_np(ep, self.num_agvs) for ep in self.episodes
-        ]
 
     # ------------------------------------------------------------------
+    @property
+    def _positions(self) -> List[np.ndarray]:
+        """Per-episode (T, N, 2) positions, computed lazily on first use
+        (the device-resident trainer paths stack these; window() extracts
+        positions from its own slice instead, so pure loading never pays
+        the whole-dataset pass)."""
+        cached = self.__dict__.get("_positions_cache")
+        if cached is None:
+            cached = [
+                extract_positions_np(np.asarray(ep, np.float32),
+                                     self.num_agvs)
+                for ep in self.episodes
+            ]
+            self.__dict__["_positions_cache"] = cached
+        return cached
+
     @property
     def obs_dim(self) -> int:
         return self.episodes[0].shape[2]
@@ -85,9 +98,15 @@ class TrajectoryDataset:
         count = frames.shape[0]
         obs_w = np.zeros((W, ep.shape[1], ep.shape[2]), np.float32)
         obs_w[:count] = frames
+        # Positions extracted lazily from the slice (episodes may be
+        # memory-mapped float16 views; upcasting here is exact and avoids
+        # materializing whole-dataset position arrays at load).
+        pos_slice = extract_positions_np(
+            np.asarray(ep[lo : t + 2], np.float32), self.num_agvs
+        )
         pos_w = np.zeros((W, ep.shape[1], 2), np.float32)
-        pos_w[:count] = self._positions[e][lo : t + 1]
-        next_pos = self._positions[e][t + 1]
+        pos_w[:count] = pos_slice[:count]
+        next_pos = pos_slice[count]
         return obs_w, count, next_pos, pos_w
 
     def batch(self, indices: Sequence[int]):
@@ -102,10 +121,89 @@ class TrajectoryDataset:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def _load_file(path: str, cache: bool = True, limit: Optional[int] = None):
+        """Episodes of one HDF5 file as a list of (T, N, D) arrays.
+
+        With cache=True (default) the decoded observations are stored in
+        a memory-mapped sidecar (`<path>.obscache.npy` + offsets in
+        `.obscachemeta.npz`, keyed by the source file's mtime): gzip'd
+        HDF5 chunk decode is the dominant load cost on small hosts
+        (measured ~1h for 5 large files on a 1-vCPU box), and every
+        trainer/eval stage re-loads the same files. Cache hits mmap in
+        milliseconds and fault pages in on first touch; values are
+        bit-identical (the sidecar stores the stored dtype, upcast to
+        float32 exactly where the old path cast at load)."""
+        import os
+
+        obs_path = path + ".obscache.npy"
+        meta_path = path + ".obscachemeta.npz"
+        src_mtime = os.path.getmtime(path)
+        if cache and os.path.exists(obs_path) and os.path.exists(meta_path):
+            try:
+                meta = np.load(meta_path)
+                if float(meta["src_mtime"]) == src_mtime:
+                    arr = np.load(obs_path, mmap_mode="r")
+                    offs = meta["offsets"]
+                    n = len(offs) - 1 if limit is None else min(
+                        limit, len(offs) - 1
+                    )
+                    eps = [arr[offs[i]: offs[i + 1]] for i in range(n)]
+                    return (eps, int(meta["num_agvs"]),
+                            int(meta["num_pickers"]))
+            except (OSError, KeyError, ValueError):
+                pass  # corrupt/foreign sidecar: rebuild below
+
+        episodes: List[np.ndarray] = []
+        num_agvs = num_pickers = None
+        with h5py.File(path, "r") as f:
+            ep_names = sorted(k for k in f.keys() if k.startswith("episode_"))
+            truncated = limit is not None and limit < len(ep_names)
+            if truncated:
+                ep_names = ep_names[:limit]
+            for name in ep_names:
+                ep = f[name]
+                if num_agvs is None:
+                    num_agvs = int(ep["metadata"].attrs["num_agvs"])
+                    num_pickers = int(ep["metadata"].attrs["num_pickers"])
+                steps = ep["steps"]
+                if ep.attrs.get("schema", b"") in (
+                    "columnar_v1", b"columnar_v1"
+                ) or isinstance(steps.get("observations"), h5py.Dataset):
+                    episodes.append(steps["observations"][:])
+                else:
+                    episodes.append(
+                        np.stack(
+                            [
+                                steps[s]["observations"][:]
+                                for s in sorted(steps.keys())
+                            ]
+                        )
+                    )
+        if cache and episodes and not truncated:
+            # Only full-file decodes get cached (a limited load — driver
+            # smokes use max_episodes=2 — must not pay the full decode).
+            try:
+                offsets = np.zeros(len(episodes) + 1, np.int64)
+                offsets[1:] = np.cumsum([e.shape[0] for e in episodes])
+                tmp_obs = obs_path + ".tmp.npy"  # .npy suffix: np.save keeps it
+                np.save(tmp_obs, np.concatenate(episodes))
+                os.replace(tmp_obs, obs_path)
+                np.savez(
+                    meta_path + ".tmp.npz", offsets=offsets,
+                    num_agvs=num_agvs, num_pickers=num_pickers,
+                    src_mtime=src_mtime,
+                )
+                os.replace(meta_path + ".tmp.npz", meta_path)
+            except OSError:
+                pass  # read-only dataset dir: skip caching
+        return episodes, num_agvs, num_pickers
+
+    @staticmethod
     def from_h5(
         paths: Sequence[str],
         seq_len: int = 5,
         max_episodes: Optional[int] = None,
+        cache: bool = True,
     ) -> "TrajectoryDataset":
         """Load from HDF5: accepts both the reference group-per-step
         schema (train_gde.py:293-332) and our columnar_v1 schema (stacked
@@ -115,30 +213,15 @@ class TrajectoryDataset:
         episodes: List[np.ndarray] = []
         num_agvs = num_pickers = None
         for path in paths:
-            with h5py.File(path, "r") as f:
-                ep_names = sorted(
-                    k for k in f.keys() if k.startswith("episode_")
-                )
-                for name in ep_names:
-                    if max_episodes and len(episodes) >= max_episodes:
-                        break
-                    ep = f[name]
-                    if num_agvs is None:
-                        num_agvs = int(ep["metadata"].attrs["num_agvs"])
-                        num_pickers = int(ep["metadata"].attrs["num_pickers"])
-                    steps = ep["steps"]
-                    if ep.attrs.get("schema", b"") in (
-                        "columnar_v1", b"columnar_v1"
-                    ) or isinstance(steps.get("observations"), h5py.Dataset):
-                        obs = steps["observations"][:].astype(np.float32)
-                    else:
-                        obs = np.stack(
-                            [
-                                steps[s]["observations"][:]
-                                for s in sorted(steps.keys())
-                            ]
-                        ).astype(np.float32)
-                    episodes.append(obs)
+            room = (max_episodes - len(episodes)) if max_episodes else None
+            eps, na, npk = TrajectoryDataset._load_file(
+                path, cache=cache, limit=room
+            )
+            if num_agvs is None:
+                num_agvs, num_pickers = na, npk
+            episodes.extend(eps[:room] if room is not None else eps)
+            if max_episodes and len(episodes) >= max_episodes:
+                break
         return TrajectoryDataset(
             episodes=episodes,
             num_agvs=num_agvs,

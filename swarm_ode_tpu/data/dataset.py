@@ -153,6 +153,15 @@ class TrajectoryDataset:
             except (OSError, KeyError, ValueError):
                 pass  # corrupt/foreign sidecar: rebuild below
 
+        def _decode(steps, schema_attr):
+            if schema_attr in ("columnar_v1", b"columnar_v1") or isinstance(
+                steps.get("observations"), h5py.Dataset
+            ):
+                return steps["observations"][:]
+            return np.stack(
+                [steps[s]["observations"][:] for s in sorted(steps.keys())]
+            )
+
         episodes: List[np.ndarray] = []
         num_agvs = num_pickers = None
         with h5py.File(path, "r") as f:
@@ -160,34 +169,61 @@ class TrajectoryDataset:
             truncated = limit is not None and limit < len(ep_names)
             if truncated:
                 ep_names = ep_names[:limit]
-            for name in ep_names:
+            build = bool(cache and not truncated and ep_names)
+            writer = offsets = None
+            if build:
+                # Stream episodes straight into a file-backed memmap:
+                # anonymous page faults can run at only a few MB/s on some
+                # virtualized hosts (measured ~4-30 MB/s here), so a
+                # np.concatenate of the whole file is the single slowest
+                # step of a load. Shapes come from HDF5 metadata (cheap);
+                # each episode is decoded exactly once.
+                try:
+                    shapes = [
+                        f[n]["steps"]["observations"].shape
+                        if isinstance(
+                            f[n]["steps"].get("observations"), h5py.Dataset
+                        )
+                        else (
+                            len(f[n]["steps"]),
+                        ) + f[n]["steps"][
+                            sorted(f[n]["steps"].keys())[0]
+                        ]["observations"].shape
+                        for n in ep_names
+                    ]
+                    dtype = f[ep_names[0]]["steps"]["observations"].dtype \
+                        if isinstance(
+                            f[ep_names[0]]["steps"].get("observations"),
+                            h5py.Dataset,
+                        ) else f[ep_names[0]]["steps"][
+                            sorted(f[ep_names[0]]["steps"].keys())[0]
+                        ]["observations"].dtype
+                    offsets = np.zeros(len(shapes) + 1, np.int64)
+                    offsets[1:] = np.cumsum([s[0] for s in shapes])
+                    tmp_obs = obs_path + ".tmp.npy"
+                    writer = np.lib.format.open_memmap(
+                        tmp_obs, mode="w+", dtype=dtype,
+                        shape=(int(offsets[-1]),) + tuple(shapes[0][1:]),
+                    )
+                except OSError:
+                    writer = None  # read-only dir: fall back to plain load
+            for i, name in enumerate(ep_names):
                 ep = f[name]
                 if num_agvs is None:
                     num_agvs = int(ep["metadata"].attrs["num_agvs"])
                     num_pickers = int(ep["metadata"].attrs["num_pickers"])
-                steps = ep["steps"]
-                if ep.attrs.get("schema", b"") in (
-                    "columnar_v1", b"columnar_v1"
-                ) or isinstance(steps.get("observations"), h5py.Dataset):
-                    episodes.append(steps["observations"][:])
+                obs = _decode(ep["steps"], ep.attrs.get("schema", b""))
+                if writer is not None:
+                    writer[offsets[i]: offsets[i + 1]] = obs
                 else:
-                    episodes.append(
-                        np.stack(
-                            [
-                                steps[s]["observations"][:]
-                                for s in sorted(steps.keys())
-                            ]
-                        )
-                    )
-        if cache and episodes and not truncated:
-            # Only full-file decodes get cached (a limited load — driver
-            # smokes use max_episodes=2 — must not pay the full decode).
+                    episodes.append(obs)
+        if writer is not None:
+            writer.flush()
+            del writer
+            final = tmp_obs
             try:
-                offsets = np.zeros(len(episodes) + 1, np.int64)
-                offsets[1:] = np.cumsum([e.shape[0] for e in episodes])
-                tmp_obs = obs_path + ".tmp.npy"  # .npy suffix: np.save keeps it
-                np.save(tmp_obs, np.concatenate(episodes))
                 os.replace(tmp_obs, obs_path)
+                final = obs_path
                 np.savez(
                     meta_path + ".tmp.npz", offsets=offsets,
                     num_agvs=num_agvs, num_pickers=num_pickers,
@@ -195,7 +231,12 @@ class TrajectoryDataset:
                 )
                 os.replace(meta_path + ".tmp.npz", meta_path)
             except OSError:
-                pass  # read-only dataset dir: skip caching
+                pass  # sidecar incomplete; data still served from `final`
+            arr = np.load(final, mmap_mode="r")
+            episodes = [
+                arr[offsets[i]: offsets[i + 1]]
+                for i in range(len(offsets) - 1)
+            ]
         return episodes, num_agvs, num_pickers
 
     @staticmethod

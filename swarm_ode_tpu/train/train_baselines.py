@@ -94,7 +94,7 @@ def train_baseline(
     # pairs, cut windows on device.
     from swarm_ode_tpu.train.train_gde import (
         _extract_windows,
-        compact_episodes,
+        stack_episodes_streamed,
     )
 
     ep_lens = {ep.shape[0] for ep in dataset.episodes}
@@ -103,8 +103,8 @@ def train_baseline(
     index_np = None
     if use_dev:
         index_np = np.asarray(dataset._index, np.int32)
-        episodes_np, dev_dtype = compact_episodes(
-            np.stack(dataset.episodes), config.device_dtype
+        episodes_np, dev_dtype = stack_episodes_streamed(
+            dataset.episodes, config.device_dtype
         )
         data = {
             "episodes": meshlib.replicate(

@@ -138,6 +138,45 @@ def compact_episodes(episodes_np: np.ndarray, device_dtype: str):
     return episodes_np, dev_dtype
 
 
+def stack_episodes_streamed(episodes, device_dtype: str):
+    """compact_episodes(np.stack(episodes), ...) without the giant
+    intermediates: one preallocated output in the final host dtype,
+    filled episode by episode (validation included for uint8).
+
+    On hosts where anonymous page faults are slow (measured down to
+    ~4 MB/s on some virtualized boxes), np.stack of a large dataset plus
+    compact_episodes' full-size floor/compare temporaries dominates
+    staging wall-clock; the streamed fill allocates the output once and
+    cycles small per-episode temporaries that glibc reuses."""
+    dev_dtype = {
+        "bfloat16": jnp.bfloat16,
+        "uint8": jnp.uint8,
+        "float32": jnp.float32,
+    }[device_dtype]
+    E = len(episodes)
+    shape = (E,) + tuple(episodes[0].shape)
+    if device_dtype == "uint8":
+        out = np.empty(shape, np.uint8)
+        for e, ep in enumerate(episodes):
+            x = np.asarray(ep)
+            lo, hi = float(x.min()), float(x.max())
+            if not (
+                0.0 <= lo and hi <= 255.0
+                and np.array_equal(x, np.floor(x))
+            ):
+                raise ValueError(
+                    f"device_dtype='uint8' needs integral obs in [0, 255]; "
+                    f"episode {e} has range [{lo}, {hi}]"
+                )
+            out[e] = x
+        return out, dev_dtype
+    host_dtype = np.asarray(episodes[0]).dtype
+    out = np.empty(shape, host_dtype)
+    for e, ep in enumerate(episodes):
+        out[e] = ep
+    return out, dev_dtype
+
+
 def _extract_windows(
     episodes_dev, positions_dev, seq_len, e_idx, t_idx, with_pos=False,
     horizon: int = 1, true_len: Optional[int] = None,
@@ -251,8 +290,8 @@ def train_gde(
     )
     sharded = use_dev and shard_eps < E
     if use_dev:
-        episodes_np, dev_dtype = compact_episodes(
-            np.stack(dataset.episodes), config.device_dtype
+        episodes_np, dev_dtype = stack_episodes_streamed(
+            dataset.episodes, config.device_dtype
         )
         positions_np = np.stack(dataset._positions)
         if config.horizon > 1:

@@ -31,6 +31,10 @@ p.add_argument("--probe", action="store_true")
 p.add_argument("--horizon", type=int, default=1,
                help="supervise the ODE at t=1..horizon (1 = ref recipe)")
 p.add_argument("--hidden_dim", type=int, default=64)
+p.add_argument("--checkpoint_every", type=int, default=10,
+               help="epochs between checkpoints (1-2 on flaky TPU hosts: "
+                    "the axon worker can crash mid-run and the trainer "
+                    "auto-resumes from the latest saved epoch)")
 p.add_argument("--tag", default="", help="suffix for the output dir")
 p.add_argument("--out_dir", default=None,
                help="output dir override (for smoke tests)")
@@ -115,7 +119,7 @@ cfg = GDETrainConfig(
     device_dtype="uint8",
     horizon=args.horizon,
     checkpoint_dir=str(OUT / "ckpt"),
-    checkpoint_every=10,
+    checkpoint_every=args.checkpoint_every,
 )
 t0 = time.time()
 out = train_gde(ds, cfg)

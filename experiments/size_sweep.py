@@ -13,7 +13,7 @@ ENVS = [
     ("tarware-medium-10agvs-5pickers-partialobs-v1", 1024),
     ("tarware-medium-19agvs-9pickers-partialobs-v1", 1024),
     ("tarware-large-15agvs-8pickers-partialobs-v1", 1024),
-    ("tarware-extralarge-19agvs-9pickers-partialobs-v1", 512),
+    ("tarware-extralarge-19agvs-9pickers-partialobs-v1", 1024),
 ]
 for env_id, B in ENVS:
     cfg = EnvConfig.from_env_id(env_id)

@@ -30,7 +30,7 @@ REFERENCE_FPS = 261.4
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env_id", default="tarware-medium-19agvs-9pickers-partialobs-v1")
-    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--replan_mode", default="bfs", choices=["bfs", "greedy", "off"])

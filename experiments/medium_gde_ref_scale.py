@@ -31,6 +31,10 @@ p.add_argument("--probe", action="store_true")
 p.add_argument("--horizon", type=int, default=1,
                help="supervise the ODE at t=1..horizon (1 = ref recipe)")
 p.add_argument("--hidden_dim", type=int, default=64)
+p.add_argument("--scan_chunk", type=int, default=0,
+               help="max batches per epoch-scan dispatch (0 = whole epoch; "
+                    "use ~2000 on large/h4 runs: the axon tunnel kills "
+                    "dispatches running over ~80s — see NOTES.md)")
 p.add_argument("--checkpoint_every", type=int, default=10,
                help="epochs between checkpoints (1-2 on flaky TPU hosts: "
                     "the axon worker can crash mid-run and the trainer "
@@ -118,6 +122,7 @@ cfg = GDETrainConfig(
     hidden_dim=args.hidden_dim,
     device_dtype="uint8",
     horizon=args.horizon,
+    epoch_scan_chunk=args.scan_chunk,
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=args.checkpoint_every,
 )

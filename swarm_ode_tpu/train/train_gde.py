@@ -71,6 +71,16 @@ class GDETrainConfig:
     # horizon>1 is the fix for genuine continuous-time rollouts.
     # horizon>1 requires the device-resident data path.
     horizon: int = 1
+    # Max train/val batches per device dispatch in the epoch-scan path
+    # (0 = the whole epoch in ONE dispatch). The axon tunnel kills the
+    # worker when a single execution runs too long (~every dispatch over
+    # ~80 s; empirically 5/5 round-3 worker crashes were epoch scans —
+    # large h4 at ~80-90 s/epoch died 3/3 at epoch 1, medium h4 at 64 s
+    # died once in ~100, medium h1 at 19 s and all env/RL dispatches
+    # (~1 s) never). Chunking syncs every `epoch_scan_chunk` batches,
+    # bounding dispatch duration at the cost of one extra compile for
+    # the remainder-sized chunk.
+    epoch_scan_chunk: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
 
@@ -516,11 +526,14 @@ def train_gde(
                     nb += 1
         elif use_dev:
             pairs = epoch_pairs(rng.permutation(train_idx))
-            params, opt_state, losses = train_epoch_scan(
-                params, opt_state, pairs, data
-            )
-            tot = float(losses.sum())
-            nb = losses.shape[0]
+            chunk = config.epoch_scan_chunk or pairs.shape[0]
+            for ci in range(0, pairs.shape[0], chunk):
+                params, opt_state, losses = train_epoch_scan(
+                    params, opt_state, pairs[ci : ci + chunk], data
+                )
+                # float() syncs here, capping the dispatch length.
+                tot += float(losses.sum())
+                nb += losses.shape[0]
         else:
             perm = rng.permutation(train_idx)
             for i in range(0, len(perm) - B + 1, B):
@@ -542,9 +555,14 @@ def train_gde(
                     vtot += float(eval_loss(params, batch, sdata))
                     vnb += 1
         elif use_dev and len(val_idx) >= B:
-            vlosses = eval_epoch_scan(params, epoch_pairs(val_idx), data)
-            vtot = float(vlosses.sum())
-            vnb = vlosses.shape[0]
+            vpairs = epoch_pairs(val_idx)
+            chunk = config.epoch_scan_chunk or vpairs.shape[0]
+            for ci in range(0, vpairs.shape[0], chunk):
+                vlosses = eval_epoch_scan(
+                    params, vpairs[ci : ci + chunk], data
+                )
+                vtot += float(vlosses.sum())
+                vnb += vlosses.shape[0]
         else:
             for i in range(0, max(len(val_idx) - B + 1, 1), B):
                 batch = device_batch(val_idx[i : i + B])

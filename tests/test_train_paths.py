@@ -83,6 +83,44 @@ def test_gde_epoch_scan_equals_host_loop():
     np.testing.assert_allclose(losses[0][1], losses[1][1], rtol=2e-5)
 
 
+def test_gde_chunked_epoch_scan_equals_whole_epoch():
+    """epoch_scan_chunk splits the epoch into bounded-duration dispatches
+    (the axon-tunnel crash mitigation, NOTES.md) without changing the
+    math: identical loss histories to the one-dispatch epoch scan,
+    including a non-dividing remainder chunk."""
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+
+    ds = _toy_dataset(E=4, T=14)
+    losses = []
+    for chunk in (0, 3):  # chunk=3 leaves a smaller remainder dispatch
+        cfg = GDETrainConfig(
+            num_epochs=2, batch_size=4, hidden_dim=8,
+            epoch_scan_chunk=chunk,
+        )
+        out = train_gde(ds, cfg, verbose=False)
+        losses.append(
+            (out["history"]["train_loss"], out["history"]["val_loss"])
+        )
+    np.testing.assert_allclose(losses[0][0], losses[1][0], rtol=2e-5)
+    np.testing.assert_allclose(losses[0][1], losses[1][1], rtol=2e-5)
+
+
+def test_gde_chunked_scan_multi_horizon():
+    """Chunking composes with horizon>1 (the config the crashes hit)."""
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+
+    ds = _toy_dataset(E=4, T=14)
+    losses = []
+    for chunk in (0, 4):
+        cfg = GDETrainConfig(
+            num_epochs=1, batch_size=4, hidden_dim=8, horizon=3,
+            epoch_scan_chunk=chunk,
+        )
+        out = train_gde(ds, cfg, verbose=False)
+        losses.append(out["history"]["train_loss"])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
+
+
 def test_gde_uint8_rejects_non_integral():
     from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
 

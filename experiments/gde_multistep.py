@@ -74,6 +74,8 @@ params0 = model.init(jax.random.PRNGKey(0), g0, jnp.array([0.0, 1.0]))
 ck = CheckpointManager(str(CKPT))
 restored = ck.restore({"params": jax.tree.map(np.asarray, params0)},
                       partial=True)
+if restored is None:
+    sys.exit(f"no checkpoint found under {CKPT} (empty or missing run dir)")
 params = restored["params"]
 print(f"restored checkpoint step {ck.latest_step()}", flush=True)
 

@@ -58,6 +58,31 @@ OUT = pathlib.Path(args.out_dir) if args.out_dir else pathlib.Path(
 )
 GDE_RESULT = pathlib.Path(args.gde_result)
 
+if len(args.models) > 1:
+    # One subprocess per model: at reference scale each model device-puts
+    # the ~6 GB episode tensor, and the previous model's copy is not
+    # reliably released in-process (the large run OOMed on model #2 with
+    # RESOURCE_EXHAUSTED) — process exit is the only guaranteed free.
+    import subprocess
+
+    for name in args.models:
+        cmd = [sys.executable, __file__, "--models", name,
+               "--epochs", str(args.epochs),
+               "--env", ENV, "--out_dir", str(OUT),
+               "--gde_result", args.gde_result,
+               "--hidden_dim", str(args.hidden_dim)]
+        if args.max_episodes is not None:
+            cmd += ["--max_episodes", str(args.max_episodes)]
+        if args.save_params:
+            cmd.append("--save_params")
+        if args.cpu:
+            cmd.append("--cpu")
+        r = subprocess.run(cmd)
+        if r.returncode != 0:
+            print(f"[{name}] FAILED (exit {r.returncode}); continuing",
+                  flush=True)
+    sys.exit(0)
+
 files = [str(DATA / f"warehouse_data_{ENV}_seed{s}.h5") for s in SEEDS]
 files = [f for f in files if pathlib.Path(f).exists()]
 ds = TrajectoryDataset.from_h5(files, seq_len=5,

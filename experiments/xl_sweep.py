@@ -24,6 +24,9 @@ ap.add_argument("--batches", type=int, nargs="*", default=[512, 1024])
 ap.add_argument("--iters", type=int, nargs="*", default=[0, 40],
                 help="dynamic_bfs_iters overrides (0 = auto default)")
 ap.add_argument("--kernels", nargs="*", default=["bitpack32"])
+ap.add_argument("--replan", default="bfs", choices=["bfs", "off"],
+                help="'off' measures the no-replanning ablation ceiling "
+                     "(behavior drifts; throughput-roofline probe only)")
 ap.add_argument("--steps", type=int, default=100)
 ap.add_argument("--cpu", action="store_true")
 args = ap.parse_args()
@@ -44,6 +47,7 @@ for B, iters, kernel in itertools.product(
     cfg = dataclasses.replace(
         EnvConfig.from_env_id(args.env),
         dynamic_bfs_iters=iters, bfs_kernel=kernel,
+        replan_mode=args.replan,
     )
     lay = build_layout(cfg)
     params = make_params(cfg, lay)

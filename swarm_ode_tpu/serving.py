@@ -30,6 +30,7 @@ from swarm_ode_tpu.graphs.hetero import (
     masks_from_feats,
     split_observation,
 )
+from swarm_ode_tpu.graphs.temporal import TemporalWindow, build_temporal_graph
 from swarm_ode_tpu.rl import coordination
 
 
@@ -88,6 +89,37 @@ def make_policy_fn(env_params, net, net_params,
     return policy
 
 
+def make_gde_fn(model, params, distance_threshold: float = 5.0,
+                horizon: int = 4) -> Callable:
+    """Flagship trajectory model as a pure serving function.
+
+    (window_obs (W, N, D) float32, count () int32) ->
+    predicted positions (horizon+1, N, 2) float32 for the newest valid
+    frame's agents at t = 0..horizon — the trajectory surface of the
+    reference's train_gde.py:47-106, deployable without Python model
+    code (same jax.export story as the dispatchers above)."""
+    t_span = jnp.arange(horizon + 1, dtype=jnp.float32)
+
+    def predict(obs: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+        W, N = obs.shape[0], obs.shape[1]
+        g = build_temporal_graph(
+            TemporalWindow(obs=obs, count=count),
+            model.num_agvs, distance_threshold,
+        )
+        traj = model.apply(params, g, t_span)["trajectories"]
+        traj = traj.reshape(t_span.shape[0], W, N, 2)
+        # Newest valid frame's agent nodes carry the prediction.
+        return traj[:, jnp.maximum(count - 1, 0)]
+
+    return predict
+
+
+def export_fn(fn: Callable, *arg_specs) -> bytes:
+    """Trace + serialize any jittable fn to a hermetic StableHLO blob."""
+    exported = jax_export.export(jax.jit(fn))(*arg_specs)
+    return bytes(exported.serialize())
+
+
 def export_policy(policy_fn: Callable, example_obs,
                   stochastic: bool = False) -> bytes:
     """Trace + serialize a policy to a hermetic StableHLO blob.
@@ -97,11 +129,31 @@ def export_policy(policy_fn: Callable, example_obs,
     obs_spec = jax.ShapeDtypeStruct(example_obs.shape, jnp.float32)
     if stochastic:
         seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
-        exported = jax_export.export(jax.jit(policy_fn))(obs_spec,
-                                                         seed_spec)
-    else:
-        exported = jax_export.export(jax.jit(policy_fn))(obs_spec)
-    return bytes(exported.serialize())
+        return export_fn(policy_fn, obs_spec, seed_spec)
+    return export_fn(policy_fn, obs_spec)
+
+
+def export_gde(gde_fn: Callable, window: int, num_agents: int,
+               obs_dim: int) -> bytes:
+    """Serialize a make_gde_fn predictor for (W, N, D) windows."""
+    return export_fn(
+        gde_fn,
+        jax.ShapeDtypeStruct((window, num_agents, obs_dim), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+
+
+def load_gde(blob: bytes) -> Callable:
+    """Deserialize an exported trajectory model into
+    (window_obs, count) -> (horizon+1, N, 2)."""
+    exported = jax_export.deserialize(blob)
+
+    def predict(obs, count):
+        return exported.call(
+            jnp.asarray(obs, jnp.float32), jnp.asarray(count, jnp.int32)
+        )
+
+    return predict
 
 
 def load_policy(blob: bytes) -> Callable:

@@ -189,3 +189,34 @@ def test_qmix_driver_smoke(tmp_path):
     assert rows and "pick_rate" in rows[0] and "loss" in rows[0]
     assert any("eval_pick_rate" in r for r in rows), "greedy probe missing"
     assert (out / "ckpt").exists()
+
+
+TINY_SEED0 = (
+    DATA / "warehouse_data_tarware-tiny-3agvs-2pickers-partialobs-v1_seed0.h5"
+)
+
+
+@pytest.mark.skipif(
+    not TINY_SEED0.exists(),
+    reason="tiny dataset files not on disk (regenerate: scripts/collect_data.py)",
+)
+def test_export_gde_driver(tmp_path):
+    """Train-at-toy-scale, then export the GDE serving blob and verify the
+    driver's built-in round-trip check passes."""
+    out = tmp_path / "gde"
+    _run(
+        "medium_gde_ref_scale.py", "--epochs", "1", "--max_episodes", "2",
+        "--batch_size", "4", "--hidden_dim", "8", "--horizon", "2",
+        "--checkpoint_every", "1", "--out_dir", str(out),
+        "--env", "tarware-tiny-3agvs-2pickers-partialobs-v1",
+    )
+    proc = _run(
+        "export_gde.py", "--ckpt", str(out / "ckpt"),
+        "--env", "tarware-tiny-3agvs-2pickers-partialobs-v1",
+        "--hidden_dim", "8", "--horizon", "2",
+    )
+    assert "round-trip exact" in proc.stdout
+    blob = out / "gde.stablehlo"
+    assert blob.exists() and blob.stat().st_size > 1000
+    meta = json.loads((out / "gde.stablehlo.json").read_text())
+    assert meta["horizon"] == 2 and meta["num_agents"] == 5

@@ -88,3 +88,35 @@ def test_exported_policy_actions_are_valid(setup):
     masks = np.asarray(observations.compute_valid_action_masks(params, es))
     acts = np.asarray(served(np.asarray(obs, np.float32)))
     assert all(masks[i, a] > 0 for i, a in enumerate(acts))
+
+
+def test_gde_export_roundtrip():
+    """The flagship trajectory model exports to a hermetic blob:
+    (window obs, count) in, (horizon+1, N, 2) trajectory out, equal to
+    the direct apply — including a warmup (count < W) window."""
+    from swarm_ode_tpu.graphs.temporal import (
+        TemporalWindow,
+        build_temporal_graph,
+    )
+    from swarm_ode_tpu.models.gde import GraphODE
+    from swarm_ode_tpu.serving import export_gde, load_gde, make_gde_fn
+
+    W, N, D, H = 4, 5, 9, 3
+    model = GraphODE(node_dim=D, num_agvs=3, num_pickers=2, hidden_dim=8)
+    rng = np.random.RandomState(0)
+    obs = rng.rand(W, N, D).astype(np.float32) * 8.0
+    w0 = TemporalWindow(obs=jnp.asarray(obs), count=jnp.int32(W))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        build_temporal_graph(w0, 3, 5.0),
+        jnp.array([0.0, 1.0]),
+    )
+    fn = make_gde_fn(model, params, horizon=H)
+    blob = export_gde(fn, window=W, num_agents=N, obs_dim=D)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    served = load_gde(blob)
+    for count in (W, 2):
+        want = np.asarray(fn(jnp.asarray(obs), jnp.int32(count)))
+        got = np.asarray(served(obs, count))
+        assert want.shape == (H + 1, N, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -114,9 +114,23 @@ def make_gde_fn(model, params, distance_threshold: float = 5.0,
     return predict
 
 
+# Lower every blob for both backends so an artifact exported from a TPU
+# session replays on a CPU box (and vice versa) — jax.export records the
+# lowering platforms and refuses mismatched ones at call time. Some TPU
+# plugin backends register under a non-standard platform name that
+# multi-platform lowering rejects; fall back to the single current
+# platform there rather than failing the export.
+_PLATFORMS = ("cpu", "tpu")
+
+
 def export_fn(fn: Callable, *arg_specs) -> bytes:
     """Trace + serialize any jittable fn to a hermetic StableHLO blob."""
-    exported = jax_export.export(jax.jit(fn))(*arg_specs)
+    try:
+        exported = jax_export.export(
+            jax.jit(fn), platforms=_PLATFORMS
+        )(*arg_specs)
+    except Exception:
+        exported = jax_export.export(jax.jit(fn))(*arg_specs)
     return bytes(exported.serialize())
 
 

@@ -120,3 +120,28 @@ def test_gde_export_roundtrip():
         got = np.asarray(served(obs, count))
         assert want.shape == (H + 1, N, 2)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_committed_blobs_load():
+    """Any serving blob committed under results_data/ must still
+    deserialize and advertise cpu among its lowering platforms (blobs are
+    exported multi-platform so CPU consumers can replay TPU-trained
+    policies)."""
+    import pathlib
+
+    from jax import export as jax_export
+
+    blobs = sorted(
+        pathlib.Path(__file__).resolve().parent.parent.glob(
+            "results_data/*.stablehlo"
+        )
+    )
+    if not blobs:
+        pytest.skip("no committed blobs yet")
+    for p in blobs:
+        exported = jax_export.deserialize(p.read_bytes())
+        assert len(exported.in_avals) >= 1, p.name
+        assert "cpu" in exported.platforms, (
+            f"{p.name} lowered for {exported.platforms} — not replayable "
+            "on CPU"
+        )

@@ -38,12 +38,14 @@ fi
 echo "=== $(date -u +%H:%M:%S) queue16 start (queue15 drained)" >> /tmp/r3_queue.log
 
 stage W2_export_coordtrain20k python3 experiments/export_policy.py \
+  --cpu \
   --ckpt runs/qmix_medium_5k_coordtrain/ckpt --kind qmix \
   --env_id tarware-medium-19agvs-9pickers-partialobs-v1 \
   --net gnode --hidden_dim 64 --coordinated \
   --out results_data/policy_qmix_coordtrain20k.stablehlo
 
 stage W3_export_gde_large python3 experiments/export_gde.py \
+  --cpu \
   --ckpt runs/gde_large_ref_h4/ckpt \
   --env tarware-large-15agvs-8pickers-partialobs-v1 \
   --horizon 4 --out results_data/gde_large_h4.stablehlo
@@ -57,6 +59,7 @@ stage M2_gde_medium_ms python3 experiments/gde_multistep.py \
   --run_dir /root/repo/runs/gde_medium_ref_h4
 
 stage M3_export_gde_medium python3 experiments/export_gde.py \
+  --cpu \
   --ckpt runs/gde_medium_ref_h4/ckpt \
   --env tarware-medium-19agvs-9pickers-partialobs-v1 \
   --horizon 4 --out results_data/gde_medium_h4.stablehlo

@@ -8,11 +8,16 @@ from swarm_ode_tpu.env import step as step_mod
 from swarm_ode_tpu.policies import heuristic as H
 
 ENVS = [
+    # Best-known batch per size plus the next doubling where unprobed
+    # (medium-19 knee measured at 2048, extralarge at 1024 — RESULTS.md
+    # "Saturation probes").
     ("tarware-tiny-3agvs-2pickers-partialobs-v1", 2048),
     ("tarware-small-6agvs-3pickers-partialobs-v1", 2048),
     ("tarware-medium-10agvs-5pickers-partialobs-v1", 1024),
-    ("tarware-medium-19agvs-9pickers-partialobs-v1", 1024),
+    ("tarware-medium-10agvs-5pickers-partialobs-v1", 2048),
+    ("tarware-medium-19agvs-9pickers-partialobs-v1", 2048),
     ("tarware-large-15agvs-8pickers-partialobs-v1", 1024),
+    ("tarware-large-15agvs-8pickers-partialobs-v1", 2048),
     ("tarware-extralarge-19agvs-9pickers-partialobs-v1", 1024),
 ]
 for env_id, B in ENVS:

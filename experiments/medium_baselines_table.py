@@ -58,6 +58,9 @@ OUT = pathlib.Path(args.out_dir) if args.out_dir else pathlib.Path(
 )
 GDE_RESULT = pathlib.Path(args.gde_result)
 
+# NOTE: subprocess dispatch happens BEFORE the dataset load — the parent
+# never needs the windows itself (loading 499k reference-scale windows
+# costs ~10 min of single-core time per process).
 if len(args.models) > 1:
     # One subprocess per model: at reference scale each model device-puts
     # the ~6 GB episode tensor, and the previous model's copy is not

@@ -1,18 +1,19 @@
 #!/bin/bash
 # Round-3 fresh-VM session queue (Aug 19). The VM reset wiped datasets/
-# and runs/; this chain rebuilds every lost artifact and commits the
-# serving blobs that queue16 exported but never got into git:
-#  A. (gate) wait for the medium-19-9 datagen (5 seeds) already running,
-#     then stop the process before it starts the large env (large is
-#     regenerated later, after the medium-only chip stages).
-#  B. QMIX coordinated-training 20k (rebuild of the >=100-greedy policy;
-#     ~55 min) + CPU blob export into results_data/ (committable).
-#  C. GDE medium h4, 100 epochs, chunked scan (crash fix) + multistep
-#     table refresh + CPU blob export into results_data/.
-#  E. large datagen (5 seeds x 200) then the pending pos_gru/pos_lstm
-#     rollout rows (RESULTS.md large-map leg) via baselines table +
-#     multistep eval.
-#  G. DAgger clone (queue10 recipe) + light paired eval + clone blob.
+# and runs/; this chain rebuilds every lost artifact, commits the
+# serving blobs queue16 exported but never got into git, fills the
+# pending large pos-model rollout rows, and completes the reference's
+# own 4-size baseline sweep (train_baselines.py:455-461 sweeps
+# tiny-3-2 / small-6-3 / medium-10-5 / large-15-8 — we had only
+# medium-19-9 + large):
+#  A. (gate) wait for the running medium-19-9 datagen (5 seeds), stop
+#     the process before it rolls into the large env.
+#  B. QMIX coordinated-training 20k rebuild + CPU blob export.
+#  C. GDE medium h4, 100 epochs, chunked scan + multistep refresh +
+#     CPU blob export.
+#  D. large datagen (5 seeds x 200) -> pending pos_gru/pos_lstm rows.
+#  F. tiny/small/medium10 datagen -> 4-size baselines sweep (T2 parity).
+#  G. DAgger clone + light paired eval + clone blob.
 #  H. fresh step profile + bench preflight last.
 cd /root/repo
 export MALLOC_MMAP_THRESHOLD_=1073741824 MALLOC_TRIM_THRESHOLD_=1073741824
@@ -46,8 +47,8 @@ while [ -n "$DGPID" ] && kill -0 "$DGPID" 2>/dev/null; do
   fi
   sleep 60
 done
-# remove any partial large files (the collector restarts incomplete files
-# from scratch; a half-written h5 would just waste its next attempt)
+# remove any partial large files (the collector restarts incomplete
+# files from scratch; a half-written h5 would waste its next attempt)
 for s in 0 1000 2000 3000 4000; do
   f="datasets/warehouse_data_${LARGE}_seed${s}.h5"
   if [ -f "$f" ]; then
@@ -84,16 +85,30 @@ stage C3_export_gde_medium python3 experiments/export_gde.py --cpu \
   --ckpt runs/gde_medium_ref_h4/ckpt --env "$MEDIUM" \
   --horizon 4 --out results_data/gde_medium_h4.stablehlo
 
-# --- E. large datagen + the pending pos-model rollout rows ------------
-stage E_datagen_large python3 scripts/collect_data.py \
+# --- D. large datagen + the pending pos-model rollout rows ------------
+stage D_datagen_large python3 scripts/collect_data.py \
   --env_ids "$LARGE" --seeds 0 1000 2000 3000 4000 \
   --num_episodes 200 --batch 40 --out_dir datasets
 
-stage F_baselines_large python3 experiments/medium_baselines_table.py \
+stage D2_baselines_large python3 experiments/medium_baselines_table.py \
   --env "$LARGE" --models pos_gru pos_lstm --epochs 10 --save_params
 
-stage F2_baselines_large_ms python3 experiments/baselines_multistep.py \
+stage D3_baselines_large_ms python3 experiments/baselines_multistep.py \
   --params_dir /root/repo/runs/baselines_large --env "$LARGE"
+
+# --- F. 4-size baseline sweep (reference train_baselines parity) ------
+stage F_datagen_sizes python3 scripts/collect_data.py \
+  --env_ids tarware-tiny-3agvs-2pickers-partialobs-v1 \
+            tarware-small-6agvs-3pickers-partialobs-v1 \
+            tarware-medium-10agvs-5pickers-partialobs-v1 \
+  --seeds 0 1000 2000 3000 4000 \
+  --num_episodes 200 --batch 40 --out_dir datasets
+
+for SZ in tiny-3agvs-2pickers small-6agvs-3pickers medium-10agvs-5pickers; do
+  stage F_baselines_${SZ%%-*} python3 experiments/medium_baselines_table.py \
+    --env "tarware-${SZ}-partialobs-v1" \
+    --models gru lstm pos_gru pos_lstm --epochs 10 --save_params
+done
 
 # --- G. DAgger clone + paired eval + blob ------------------------------
 stage G_dagger_medium python3 experiments/medium_dagger.py --env "$MEDIUM" \

@@ -39,6 +39,11 @@ p.add_argument("--checkpoint_every", type=int, default=10,
                help="epochs between checkpoints (1-2 on flaky TPU hosts: "
                     "the axon worker can crash mid-run and the trainer "
                     "auto-resumes from the latest saved epoch)")
+p.add_argument("--device_shard_episodes", type=int, default=0,
+               help="rotate at most this many episodes through device "
+                    "memory at a time (0 = whole dataset resident; "
+                    "needed on extralarge, whose uint8 obs tensor "
+                    "exceeds the 16 GB HBM)")
 p.add_argument("--tag", default="", help="suffix for the output dir")
 p.add_argument("--out_dir", default=None,
                help="output dir override (for smoke tests)")
@@ -121,6 +126,7 @@ cfg = GDETrainConfig(
     batch_size=args.batch_size,
     hidden_dim=args.hidden_dim,
     device_dtype="uint8",
+    device_shard_episodes=args.device_shard_episodes,
     horizon=args.horizon,
     epoch_scan_chunk=args.scan_chunk,
     checkpoint_dir=str(OUT / "ckpt"),

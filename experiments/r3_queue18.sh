@@ -104,11 +104,16 @@ stage F_datagen_sizes python3 scripts/collect_data.py \
   --seeds 0 1000 2000 3000 4000 \
   --num_episodes 200 --batch 40 --out_dir datasets
 
-for SZ in tiny-3agvs-2pickers small-6agvs-3pickers medium-10agvs-5pickers; do
-  stage F_baselines_${SZ%%-*} python3 experiments/medium_baselines_table.py \
-    --env "tarware-${SZ}-partialobs-v1" \
-    --models gru lstm pos_gru pos_lstm --epochs 10 --save_params
-done
+# explicit out dirs: the drivers key on the env's size token, which
+# would alias medium-10-5 with the flagship medium-19-9 dirs
+F_baselines() {  # $1 short name, $2 env id
+  stage F_baselines_$1 python3 experiments/medium_baselines_table.py \
+    --env "$2" --models gru lstm pos_gru pos_lstm --epochs 10 \
+    --save_params --out_dir "/root/repo/runs/baselines_$1"
+}
+F_baselines tiny tarware-tiny-3agvs-2pickers-partialobs-v1
+F_baselines small tarware-small-6agvs-3pickers-partialobs-v1
+F_baselines medium10 tarware-medium-10agvs-5pickers-partialobs-v1
 
 # --- G. DAgger clone + paired eval + blob ------------------------------
 stage G_dagger_medium python3 experiments/medium_dagger.py --env "$MEDIUM" \

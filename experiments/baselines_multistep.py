@@ -26,6 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 ap = argparse.ArgumentParser()
+ap.add_argument("--data_dir", default="/root/repo/datasets",
+               help="dataset .h5 directory (smokes point this at "
+                    "the committed tests/fixtures/datasets)")
 ap.add_argument("--params_dir", default="/root/repo/runs/baselines_medium")
 ap.add_argument("--env",
                 default="tarware-medium-19agvs-9pickers-partialobs-v1")
@@ -38,13 +41,14 @@ ap.add_argument("--seed_file", type=int, default=4000)
 ap.add_argument("--cpu", action="store_true",
                 help="force the CPU backend (smoke tests)")
 args = ap.parse_args()
+DATA = pathlib.Path(args.data_dir)
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 
 from swarm_ode_tpu.data.dataset import TrajectoryDataset  # noqa: E402
 from swarm_ode_tpu.train.train_baselines import MODEL_FACTORIES  # noqa: E402
 
-DATA = pathlib.Path("/root/repo/datasets")
+# DATA set from --data_dir above
 PDIR = pathlib.Path(args.params_dir)
 OUT = PDIR / "multistep.json"
 H = args.horizon

@@ -19,6 +19,9 @@ import numpy as np
 import argparse
 
 ap = argparse.ArgumentParser()
+ap.add_argument("--data_dir", default="/root/repo/datasets",
+               help="dataset .h5 directory (smokes point this at "
+                    "the committed tests/fixtures/datasets)")
 ap.add_argument("--run_dir", default="/root/repo/runs/gde_medium_ref")
 ap.add_argument("--horizon", type=int, default=4)
 ap.add_argument("--batch", type=int, default=64)
@@ -31,6 +34,7 @@ ap.add_argument("--cpu", action="store_true",
 ap.add_argument("--env",
                 default="tarware-medium-19agvs-9pickers-partialobs-v1")
 args = ap.parse_args()
+DATA = pathlib.Path(args.data_dir)
 if args.cpu:
     # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
     # constants at import, which initializes the default (axon) backend.
@@ -48,7 +52,7 @@ from swarm_ode_tpu.models.gde import GraphODE  # noqa: E402
 from swarm_ode_tpu.utils.checkpoint import CheckpointManager  # noqa: E402
 
 ENV = args.env
-DATA = pathlib.Path("/root/repo/datasets")
+# DATA set from --data_dir above
 CKPT = pathlib.Path(args.run_dir) / "ckpt"
 OUT = pathlib.Path(args.run_dir) / "multistep.json"
 HORIZON = args.horizon

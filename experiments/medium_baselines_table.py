@@ -16,9 +16,12 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-DATA = pathlib.Path("/root/repo/datasets")
+DATA = pathlib.Path("/root/repo/datasets")  # default; --data_dir overrides
 
 p = argparse.ArgumentParser()
+p.add_argument("--data_dir", default="/root/repo/datasets",
+               help="dataset .h5 directory (smokes point this at "
+                    "the committed tests/fixtures/datasets)")
 p.add_argument("--epochs", type=int, default=30,
                help="baselines plateau far earlier than GDE's 200 (simple "
                "recurrent regressors; curves land in the result json)")
@@ -37,6 +40,7 @@ p.add_argument("--save_params", action="store_true",
 p.add_argument("--cpu", action="store_true",
                help="force the CPU backend (smoke tests)")
 args = p.parse_args()
+DATA = pathlib.Path(args.data_dir)
 if args.cpu:
     # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
     # constants at import, which initializes the default (axon) backend.

@@ -21,15 +21,22 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 SEEDS = [0, 1000, 2000, 3000, 4000]
-DATA = pathlib.Path("/root/repo/datasets")
+DATA = pathlib.Path("/root/repo/datasets")  # default; --data_dir overrides
 
 p = argparse.ArgumentParser()
+p.add_argument("--data_dir", default="/root/repo/datasets",
+               help="dataset .h5 directory (smokes point this at "
+                    "the committed tests/fixtures/datasets)")
 p.add_argument("--epochs", type=int, default=200)
 p.add_argument("--batch_size", type=int, default=32)
 p.add_argument("--max_episodes", type=int, default=None)
 p.add_argument("--probe", action="store_true")
 p.add_argument("--horizon", type=int, default=1,
                help="supervise the ODE at t=1..horizon (1 = ref recipe)")
+p.add_argument("--horizon_weights", type=float, nargs="*", default=None,
+               help="per-horizon loss weights (length == horizon); "
+                    "e.g. '3 1 1 1' up-weights t=+1 so one model wins "
+                    "both the 1-step and rollout regimes")
 p.add_argument("--hidden_dim", type=int, default=64)
 p.add_argument("--scan_chunk", type=int, default=0,
                help="max batches per epoch-scan dispatch (0 = whole epoch; "
@@ -51,6 +58,7 @@ p.add_argument("--cpu", action="store_true",
                help="force the CPU backend (smoke tests)")
 p.add_argument("--env", default="tarware-medium-19agvs-9pickers-partialobs-v1")
 args = p.parse_args()
+DATA = pathlib.Path(args.data_dir)
 if args.cpu:
     # Must run BEFORE importing swarm_ode_tpu: env/step.py creates jnp
     # constants at import, which initializes the default (axon) backend.
@@ -128,6 +136,8 @@ cfg = GDETrainConfig(
     device_dtype="uint8",
     device_shard_episodes=args.device_shard_episodes,
     horizon=args.horizon,
+    horizon_weights=(tuple(args.horizon_weights)
+                     if args.horizon_weights else None),
     epoch_scan_chunk=args.scan_chunk,
     checkpoint_dir=str(OUT / "ckpt"),
     checkpoint_every=args.checkpoint_every,

@@ -2,10 +2,12 @@
 train_baselines.py:455-461 sweeps tiny/small/medium10/large; this repo
 adds medium-19-9 and extralarge).
 
-Reads runs/baselines_<short>/results.json (medium_baselines_table.py
-output) and runs/gde_<short>_ref_h4/result.json (medium_gde_ref_scale.py
-output) for each size and prints one markdown table of next-step val MSE
-/ mean position error / success@1.0 per (size, model).
+Reads baselines_<short> results.json (medium_baselines_table.py output)
+and gde_<short>_ref_h4 result.json (medium_gde_ref_scale.py output) for
+each size — preferring the live runs/ copy, falling back to the
+committed results_data/sizes/ harvest (scripts/harvest_results.py) so a
+fresh clone prints the full table — and prints one markdown table of
+next-step val MSE / mean position error / success@1.0 per (size, model).
 
 Usage: python scripts/size_table.py [--sizes tiny small medium10 large]
 """
@@ -15,6 +17,7 @@ import pathlib
 import sys
 
 RUNS = pathlib.Path("/root/repo/runs")
+HARVEST = pathlib.Path("/root/repo/results_data/sizes")
 DEFAULT_SIZES = ["tiny", "small", "medium10", "medium", "large",
                  "extralarge"]
 
@@ -29,14 +32,22 @@ def fmt(v):
     return f"{v:.4f}" if isinstance(v, (int, float)) else "—"
 
 
+def _find(run_name: str, fname: str):
+    live = RUNS / run_name / fname
+    if live.exists():
+        return live
+    harvested = HARVEST / f"{run_name}__{fname}"
+    return harvested if harvested.exists() else None
+
+
 rows = []
 for size in args.sizes:
     table = {}
-    bj = RUNS / f"baselines_{size}" / "results.json"
-    if bj.exists():
+    bj = _find(f"baselines_{size}", "results.json")
+    if bj is not None:
         table.update(json.loads(bj.read_text()))
-    gj = RUNS / f"gde_{size}_ref_h4" / "result.json"
-    if gj.exists():
+    gj = _find(f"gde_{size}_ref_h4", "result.json")
+    if gj is not None:
         g = json.loads(gj.read_text())
         table["gde"] = {
             "best_val_mse": min(g["history"]["val_loss"]),
@@ -50,7 +61,7 @@ for size in args.sizes:
                      r.get("mean_error"), r.get("success_rate@1.0")))
 
 if not rows:
-    sys.exit("no results found under runs/")
+    sys.exit("no results found under runs/ or results_data/sizes/")
 
 print("| size | model | val MSE | mean err (cells) | success@1.0 |")
 print("|---|---|---|---|---|")

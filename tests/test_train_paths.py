@@ -187,3 +187,38 @@ def test_gde_horizon_requires_device_path():
     with _pytest.raises(ValueError, match="horizon"):
         train_gde(ds, GDETrainConfig(num_epochs=1, horizon=2,
                                      device_data=False), verbose=False)
+
+
+def test_gde_uniform_horizon_weights_equal_unweighted():
+    """horizon_weights=(c,c,c) reproduces the unweighted loss exactly
+    (weights scale numerator and denominator of the horizon mean alike),
+    so the flag is a pure reweighting with no hidden normalization
+    change."""
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+
+    outs = []
+    for hw in (None, (2.0, 2.0, 2.0)):
+        ds = _toy_dataset()
+        cfg = GDETrainConfig(num_epochs=2, batch_size=4, hidden_dim=8,
+                             horizon=3, horizon_weights=hw)
+        outs.append(train_gde(ds, cfg, verbose=False))
+    np.testing.assert_allclose(outs[0]["history"]["train_loss"],
+                               outs[1]["history"]["train_loss"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(outs[0]["history"]["val_loss"],
+                               outs[1]["history"]["val_loss"], rtol=1e-6)
+
+
+def test_gde_horizon_weights_validation():
+    from swarm_ode_tpu.train.train_gde import GDETrainConfig, train_gde
+    import pytest as _pytest
+
+    ds = _toy_dataset()
+    with _pytest.raises(ValueError, match="horizon_weights"):
+        train_gde(ds, GDETrainConfig(num_epochs=1, horizon=3,
+                                     horizon_weights=(1.0, 2.0)),
+                  verbose=False)
+    with _pytest.raises(ValueError, match="horizon_weights"):
+        train_gde(ds, GDETrainConfig(num_epochs=1, horizon=1,
+                                     horizon_weights=(1.0,)),
+                  verbose=False)

@@ -45,6 +45,10 @@ DGPID=$(cat /tmp/r4_datagen.pid 2>/dev/null)
 while [ -n "$DGPID" ] && kill -0 "$DGPID" 2>/dev/null; do sleep 30; done
 echo "=== $(date -u +%H:%M:%S) r4 queue start (datagen drained)" >> $QLOG
 
+# --- A2. replan-rejoin throughput sweep (item 7) ------------------------
+stage A2_rejoin_sweep 1500 python3 experiments/rejoin_sweep.py --steps 250
+cp -f /tmp/r4_A2_rejoin_sweep.log results_data/rejoin_sweep_r4.log 2>/dev/null
+
 # --- B. GDE medium h4, horizon-weighted (flagship; items 1+3) ----------
 for a in 1 2; do
   stage B_gde_medium_h4w_a$a 6600 python3 experiments/medium_gde_ref_scale.py \
@@ -143,6 +147,13 @@ stage H_mappo 3000 python3 experiments/medium_mappo.py --env "$MEDIUM" \
   --init_from "$CK" --eval_every 25 --eval_episodes 8 --tag warmstart
 cp -f runs/mappo_medium_warmstart/result.json \
   results_data/mappo_medium_warmstart.json 2>/dev/null
+
+# --- I. QMIX architecture shot: comm round (item 8) ----------------------
+stage I_qmix_comm 2700 python3 experiments/medium_qmix_5k.py \
+  --env_id "$MEDIUM" --num_episodes 5000 --coordinated --net gnode_comm \
+  --eval_every 250 --eval_episodes 8 --tag comm
+cp -f runs/qmix_medium_5k_comm/qmix_medium_5k.jsonl \
+  results_data/qmix_medium_comm_5k.jsonl 2>/dev/null
 
 # --- X*. extralarge leg (item 9; deadline-cut first) ---------------------
 stage XA_datagen_xl 2400 python3 scripts/collect_data.py \

@@ -29,6 +29,9 @@ p = ArgumentParser()
 p.add_argument("--env_id", default="tarware-medium-19agvs-9pickers-partialobs-v1")
 p.add_argument("--episodes", type=int, default=30)
 p.add_argument("--seed", type=int, default=0)
+p.add_argument("--replan_rejoin", action="store_true",
+               help="measure the replan-rejoin throughput lever's "
+                    "behavior distribution (config.py replan_rejoin)")
 
 if __name__ == "__main__":
     args = p.parse_args()
@@ -40,6 +43,9 @@ if __name__ == "__main__":
     from swarm_ode_tpu.utils.metrics import pick_rate
 
     cfg = EnvConfig.from_env_id(args.env_id)
+    if args.replan_rejoin:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, replan_rejoin=True)
     lay = build_layout(cfg)
     params = make_params(cfg, lay)
     policy = H.make_policy(params, lay)

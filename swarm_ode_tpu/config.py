@@ -85,6 +85,16 @@ class EnvConfig:
     # overflow beyond the budget is counted in info['replan_overflow'].
     # 1.0 disables compaction.
     replan_row_frac: float = 0.43
+    # Rejoin: drop an agent out of replan mode once its dynamic field
+    # agrees with the static field at its own cell (same next-hop, same
+    # distance) — from there the static follower takes the identical
+    # move, and any later blockage re-arms replanning through the normal
+    # Phase-2 trigger. The reference computes ONE frozen path per clash
+    # (warehouse.py:469) and follows it without recomputation; without
+    # rejoin our recompute-every-step design keeps querying BFS for the
+    # whole rest of the mission. Throughput lever; parity stats measured
+    # unchanged before flipping the default (see RESULTS.md round 4).
+    replan_rejoin: bool = False
     # Deadlock-break (no reference counterpart; the reference's stuck rules
     # deadlock on no-detour geometry, e.g. the tiny-map mutual picker
     # blockade — tests/test_golden_behavior.py). 0 = reference semantics.

@@ -58,6 +58,7 @@ class EnvParams:
     bfs_backend: str = static()  # 'pallas' (VMEM-resident kernel) | 'xla'
     bfs_kernel: str = static()  # 'int32' | 'bitpack32' pallas variant
     replan_row_frac: float = static()  # batched-replan compaction budget
+    replan_rejoin: bool = static()  # exit replan mode on static-field rejoin
     deadlock_break: int = static()  # escape steps after hard abandon; 0 = off
     # --- arrays ---
     agent_type: jnp.ndarray  # (A,) int32 AgentType
@@ -166,6 +167,7 @@ def make_params(config: EnvConfig, layout: Optional[Layout] = None) -> EnvParams
             else config.bfs_kernel
         ),
         replan_row_frac=config.replan_row_frac,
+        replan_rejoin=config.replan_rejoin,
         deadlock_break=config.deadlock_break,
         agent_type=jnp.asarray(agent_type),
         highway=jnp.asarray(lay.highway),

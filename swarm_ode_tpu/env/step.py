@@ -652,6 +652,18 @@ def step(
     if params.max_steps:
         done = done | (cur_steps >= params.max_steps)
 
+    if params.replan_rejoin:
+        # Exit replan mode where the dynamic field has rejoined the static
+        # one at the agent's own cell: identical next-hop AND identical
+        # remaining distance mean the static follower takes the same move,
+        # and a later blockage re-arms replanning through the Phase-2
+        # trigger / Phase-3 stuck rules. Freshly-triggered rows never
+        # match (their blocker sits on the static next cell, so the dyn
+        # detour differs); only stale always-replan tails are dropped.
+        rejoined = use_dyn & dyn_ok & (dyn_nd_at == s_nd) & (
+            dyn_dist_at == s_dist
+        )
+        replan = replan & ~rejoined
     replan = replan & busy
 
     new_state = EnvState(

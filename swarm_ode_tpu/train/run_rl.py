@@ -134,6 +134,12 @@ def _make_network(cfg: RLRunConfig, action_size: int, num_agvs: int = 0,
     if cfg.net == "gnode":
         return HeteroGraphODENetwork(node_dims, action_size, cfg.hidden_dim,
                                      coord_scale=coord_scale)
+    if cfg.net == "gnode_comm":
+        # gnode + one inter-agent attention round before the Q heads
+        # (models/gnode.py::CommRound) — the round-3 plateau analysis'
+        # architectural lever (VERDICT item 8).
+        return HeteroGraphODENetwork(node_dims, action_size, cfg.hidden_dim,
+                                     coord_scale=coord_scale, comm=True)
     if cfg.net == "gnn":
         net = HeteroGNNNetwork(action_size=action_size,
                                hidden_dim=cfg.hidden_dim,

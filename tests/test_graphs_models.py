@@ -148,6 +148,24 @@ def test_hetero_networks_shapes(env, obs_state):
     assert out["picker_q_values"].shape == (2, act)
     assert out["location_embeddings"].shape == (env.params.num_racks, 32)
 
+    # comm=True inserts one inter-agent attention round before the Q
+    # heads (VERDICT r3 item 8); same output contract, extra params.
+    net_c = HeteroGraphODENetwork(
+        {"agv": 7, "picker": 4, "location": 2}, act, hidden_dim=32, comm=True
+    )
+    pc = net_c.init(jax.random.PRNGKey(0), g)
+    assert "comm" in pc
+    out_c = net_c.apply(pc, g)
+    assert out_c["agv_q_values"].shape == (3, act)
+    assert out_c["picker_q_values"].shape == (2, act)
+    # the round actually mixes information across agents: it must change
+    # the Qs relative to the comm-free net with identical shared params
+    pc_no = {k: v for k, v in pc.items() if k != "comm"}
+    out_nc = net.apply(pc_no, g)
+    assert not np.allclose(
+        np.asarray(out_c["agv_q_values"]), np.asarray(out_nc["agv_q_values"])
+    )
+
     gnn = HeteroGNNNetwork(action_size=act, hidden_dim=32)
     p2 = gnn.init(jax.random.PRNGKey(1), g)
     out2 = gnn.apply(p2, g)

@@ -150,6 +150,24 @@ if [ ! -f $RD/policy_dagger_clone_r4.stablehlo ]; then
   harvest
 fi
 
+# --- G2'. chip-scale DAgger on LARGE (item 5 asks medium + large) ----------
+if [ ! -f $RD/policy_dagger_clone_large_r4.stablehlo ]; then
+  stage G_dagger_large 3600 python3 experiments/medium_dagger.py \
+    --env "$LARGE" --net gnn --hidden_dim 64 --rounds 4 \
+    --episodes_per_round 48 --epochs0 10 --epochs_per_round 4 --stride 3 \
+    --max_episodes 400 --collect_temperature 2.0 --eval_episodes 8 \
+    --tag r4scale
+  CKL=runs/dagger_large_r4scale/ckpt_best
+  [ -d "$CKL" ] || CKL=runs/dagger_large_r4scale/ckpt
+  stage G2_export_clone_large 900 python3 experiments/export_policy.py --cpu \
+    --ckpt "$CKL" --kind bc --env_id "$LARGE" --net gnn --hidden_dim 64 \
+    --coordinated --temperature 3.0 \
+    --out $RD/policy_dagger_clone_large_r4.stablehlo
+  cp -rf runs/dagger_large_r4scale/result.json \
+    $RD/dagger_large_r4scale.json 2>/dev/null
+  harvest
+fi
+
 # --- H'. MAPPO warm-started from the DAgger clone (item 6) ----------------
 if [ ! -f $RD/mappo_medium_warmstart.json ]; then
   CK=runs/dagger_medium_r4scale/ckpt_best

@@ -12,6 +12,9 @@ import pathlib
 ap = argparse.ArgumentParser()
 ap.add_argument("--gde_h1", default="/root/repo/runs/gde_medium_ref/multistep.json")
 ap.add_argument("--gde_h4", default="/root/repo/runs/gde_medium_ref_h4/multistep.json")
+ap.add_argument("--gde_h4w",
+                default="/root/repo/runs/gde_medium_ref_h4w/multistep.json",
+                help="horizon-weighted flagship (round-4)")
 ap.add_argument("--baselines",
                 default="/root/repo/runs/baselines_medium/multistep.json")
 args = ap.parse_args()
@@ -19,8 +22,19 @@ args = ap.parse_args()
 cols = {}  # name -> {h: err}
 
 
-def add(path, mapping):
+def _resolve(path):
+    """Prefer the live runs/ copy; fall back to the committed
+    results_data/sizes/ harvest (scripts/harvest_results.py) so a fresh
+    clone prints the full table."""
     p = pathlib.Path(path)
+    if p.exists():
+        return p
+    return pathlib.Path("/root/repo/results_data/sizes",
+                        f"{p.parent.name}__{p.name}")
+
+
+def add(path, mapping):
+    p = _resolve(path)
     if not p.exists():
         print(f"<!-- missing: {p} -->")
         return
@@ -35,11 +49,13 @@ def add(path, mapping):
 add(args.gde_h1, {"gde_mean_error": "GDE (h=1)",
                   "persistence_mean_error": "persistence"})
 add(args.gde_h4, {"gde_mean_error": "GDE (h=4)"})
+add(args.gde_h4w, {"gde_mean_error": "GDE (h=4, weighted)"})
 add(args.baselines, {"pos_lstm_mean_error": "pos-LSTM (rollout)",
                      "pos_gru_mean_error": "pos-GRU (rollout)",
                      "lstm_mean_error": "LSTM (teacher-forced*)"})
 
-order = ["GDE (h=4)", "GDE (h=1)", "pos-LSTM (rollout)", "pos-GRU (rollout)",
+order = ["GDE (h=4, weighted)", "GDE (h=4)", "GDE (h=1)",
+         "pos-LSTM (rollout)", "pos-GRU (rollout)",
          "LSTM (teacher-forced*)", "persistence"]
 names = [n for n in order if n in cols]
 hs = sorted({h for c in cols.values() for h in c})

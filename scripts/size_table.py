@@ -46,7 +46,10 @@ for size in args.sizes:
     bj = _find(f"baselines_{size}", "results.json")
     if bj is not None:
         table.update(json.loads(bj.read_text()))
-    gj = _find(f"gde_{size}_ref_h4", "result.json")
+    # Flagships train with the horizon-weighted loss (tag h4w); the
+    # per-size sweep rows are plain h4. Prefer the weighted run.
+    gj = (_find(f"gde_{size}_ref_h4w", "result.json")
+          or _find(f"gde_{size}_ref_h4", "result.json"))
     if gj is not None:
         g = json.loads(gj.read_text())
         table["gde"] = {

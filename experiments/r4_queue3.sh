@@ -1,0 +1,76 @@
+#!/bin/bash
+# Round-4 third chip queue: restore the wiped medium evidence chain and
+# finish the flagship to the clean reference recipe (VERDICT items 1+3).
+# The primary queue trains the h4w flagship to 120 epochs; item 3 asks for
+# the clean 200-epoch recipe, and the medium multistep table needs the h=1
+# GDE and medium baselines that died with runs/ (r3 trained them at 200/30
+# epochs — RESULTS.md "Reference-scale GDE training"). Waits for queue2.
+cd /root/repo
+export MALLOC_MMAP_THRESHOLD_=1073741824 MALLOC_TRIM_THRESHOLD_=1073741824
+HARD_DEADLINE=$(date -ud "2026-08-20 12:00" +%s)
+MEDIUM=tarware-medium-19agvs-9pickers-partialobs-v1
+QLOG=/tmp/r4_queue3.log
+RD=results_data
+
+stage() {  # stage <name> <cap_seconds> <cmd...>
+  local name=$1 cap=$2; shift 2
+  local now=$(date +%s)
+  local budget=$((HARD_DEADLINE - now))
+  [ "$budget" -gt "$cap" ] && budget=$cap
+  if [ -f /tmp/r4_queue3_stop ] || [ "$budget" -le 60 ]; then
+    echo "=== $(date -u +%H:%M:%S) stage $name SKIPPED (stop/deadline)" >> $QLOG
+    return 0
+  fi
+  echo "=== $(date -u +%H:%M:%S) stage $name (budget ${budget}s): $*" >> $QLOG
+  timeout -s TERM "$budget" "$@" > "/tmp/r4c_${name}.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) stage $name exit $?" >> $QLOG
+}
+
+harvest() {
+  python3 scripts/harvest_results.py >> $QLOG 2>&1
+  git add results_data 2>/dev/null
+  git commit -q -m "r4 queue: harvest stage artifacts" 2>/dev/null || true
+}
+
+# --- gate: wait for queue2 to drain --------------------------------------
+QPID=$(cat /tmp/r4_queue2.pid 2>/dev/null)
+while [ -n "$QPID" ] && kill -0 "$QPID" 2>/dev/null; do sleep 60; done
+echo "=== $(date -u +%H:%M:%S) r4 queue3 start (queue2 drained)" >> $QLOG
+
+# --- J. flagship h4w to the clean 200-epoch recipe (item 3) ---------------
+# Auto-resumes from the primary queue's epoch-120 checkpoint.
+stage J_gde_h4w_200 7200 python3 experiments/medium_gde_ref_scale.py \
+  --env "$MEDIUM" --epochs 200 --horizon 4 --horizon_weights 3 1 1 1 \
+  --tag h4w --checkpoint_every 2 --scan_chunk 2000
+stage J2_gde_h4w_ms 1200 python3 experiments/gde_multistep.py \
+  --env "$MEDIUM" --run_dir /root/repo/runs/gde_medium_ref_h4w
+stage J3_export_gde_h4w 900 python3 experiments/export_gde.py --cpu \
+  --ckpt runs/gde_medium_ref_h4w/ckpt --env "$MEDIUM" \
+  --horizon 4 --out $RD/gde_medium_h4w.stablehlo
+harvest
+
+# --- K. restore the medium h=1 GDE (the t=+1 reference point) -------------
+if [ ! -f $RD/sizes/gde_medium_ref__multistep.json ]; then
+  stage K_gde_h1_200 6000 python3 experiments/medium_gde_ref_scale.py \
+    --env "$MEDIUM" --epochs 200 --horizon 1 --checkpoint_every 5 \
+    --scan_chunk 2000 --out_dir /root/repo/runs/gde_medium_ref
+  stage K2_gde_h1_ms 1200 python3 experiments/gde_multistep.py \
+    --env "$MEDIUM" --run_dir /root/repo/runs/gde_medium_ref
+  harvest
+fi
+
+# --- L. restore the medium baselines rows ---------------------------------
+if [ ! -f $RD/sizes/baselines_medium__multistep.json ]; then
+  stage L_baselines_medium 2400 python3 experiments/medium_baselines_table.py \
+    --env "$MEDIUM" --models gru lstm pos_gru pos_lstm --epochs 30 \
+    --save_params --out_dir /root/repo/runs/baselines_medium
+  stage L2_baselines_medium_ms 900 python3 experiments/baselines_multistep.py \
+    --params_dir /root/repo/runs/baselines_medium --env "$MEDIUM"
+  harvest
+fi
+
+# --- Z''. fresh bench ------------------------------------------------------
+rm -f /tmp/r4_queue3_stop
+HARD_DEADLINE=$(( $(date +%s) + 1500 ))
+stage Z_bench 1400 python3 bench.py
+echo "=== $(date -u +%H:%M:%S) r4 queue3 done" >> $QLOG

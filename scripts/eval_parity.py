@@ -32,9 +32,19 @@ p.add_argument("--seed", type=int, default=0)
 p.add_argument("--replan_rejoin", action="store_true",
                help="measure the replan-rejoin throughput lever's "
                     "behavior distribution (config.py replan_rejoin)")
+p.add_argument("--row_frac", type=float, default=None,
+               help="override the batched-replan compaction budget "
+                    "(config.py replan_row_frac) — parity-validate the "
+                    "budget the rejoin sweep selects")
+p.add_argument("--cpu", action="store_true",
+               help="force the CPU backend (the axon sitecustomize "
+                    "overrides JAX_PLATFORMS, so the env var is not "
+                    "enough in this image)")
 
 if __name__ == "__main__":
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from swarm_ode_tpu.config import EnvConfig
     from swarm_ode_tpu.env import step as step_mod
     from swarm_ode_tpu.env.layout import build_layout
@@ -43,9 +53,14 @@ if __name__ == "__main__":
     from swarm_ode_tpu.utils.metrics import pick_rate
 
     cfg = EnvConfig.from_env_id(args.env_id)
-    if args.replan_rejoin:
+    if args.replan_rejoin or args.row_frac is not None:
         import dataclasses
-        cfg = dataclasses.replace(cfg, replan_rejoin=True)
+        cfg = dataclasses.replace(
+            cfg,
+            replan_rejoin=args.replan_rejoin or cfg.replan_rejoin,
+            replan_row_frac=(cfg.replan_row_frac if args.row_frac is None
+                             else args.row_frac),
+        )
     lay = build_layout(cfg)
     params = make_params(cfg, lay)
     policy = H.make_policy(params, lay)

@@ -74,3 +74,33 @@ rm -f /tmp/r4_queue3_stop
 HARD_DEADLINE=$(( $(date +%s) + 1500 ))
 stage Z_bench 1400 python3 bench.py
 echo "=== $(date -u +%H:%M:%S) r4 queue3 done" >> $QLOG
+
+# --- appended while queue3 waited at its gate (append-only is safe for a
+# --- running bash script; inserting lines is not) ------------------------
+HARD_DEADLINE=$(date -ud "2026-08-20 12:00" +%s)
+LARGE=tarware-large-15agvs-8pickers-partialobs-v1
+
+# --- M. large coordtrain QMIX to its plateau (item 4 asks 25-30k; the
+# --- primary queue's C stage only reaches 12k) ----------------------------
+stage M_qmix_large_26k 9000 python3 experiments/medium_qmix_5k.py \
+  --env_id "$LARGE" --num_episodes 26000 --coordinated \
+  --eval_every 250 --eval_episodes 8 --tag coordtrain_large \
+  --resume_from runs/qmix_medium_5k_coordtrain_large/ckpt
+stage M2_export_qmix_large 900 python3 experiments/export_policy.py --cpu \
+  --ckpt runs/qmix_medium_5k_coordtrain_large/ckpt --kind qmix \
+  --env_id "$LARGE" --net gnode --hidden_dim 64 --coordinated \
+  --out $RD/policy_qmix_large_coordtrain.stablehlo
+cp -f runs/qmix_medium_5k_coordtrain_large/qmix_medium_5k.jsonl \
+  $RD/qmix_large_coordtrain_resume.jsonl 2>/dev/null
+harvest
+
+# --- N. rejoin operating point: pick from the sweep + chip parity ---------
+if [ ! -f $RD/parity_rejoin_r4.json ]; then
+  stage N_rejoin_choice 3300 python3 scripts/validate_rejoin_choice.py
+  harvest
+fi
+
+# --- Z'''. rebench after the appended stages -------------------------------
+HARD_DEADLINE=$(( $(date +%s) + 1500 ))
+stage Z2_bench 1400 python3 bench.py
+echo "=== $(date -u +%H:%M:%S) r4 queue3 appended stages done" >> $QLOG

@@ -33,10 +33,11 @@ def _resolve(path):
                         f"{p.parent.name}__{p.name}")
 
 
-def add(path, mapping):
+def add(path, mapping, optional=False):
     p = _resolve(path)
     if not p.exists():
-        print(f"<!-- missing: {p} -->")
+        if not optional:
+            print(f"<!-- missing: {p} -->")
         return
     data = json.loads(p.read_text())
     for h_key, row in data.items():
@@ -48,7 +49,10 @@ def add(path, mapping):
 
 add(args.gde_h1, {"gde_mean_error": "GDE (h=1)",
                   "persistence_mean_error": "persistence"})
-add(args.gde_h4, {"gde_mean_error": "GDE (h=4)"})
+# Uniform h=4 is superseded by the weighted flagship (RESULTS.md round 4:
+# weighted dominates at every horizon); its round-3 artifact died with
+# runs/, so the row prints only when a local copy exists.
+add(args.gde_h4, {"gde_mean_error": "GDE (h=4)"}, optional=True)
 add(args.gde_h4w, {"gde_mean_error": "GDE (h=4, weighted)"})
 add(args.baselines, {"pos_lstm_mean_error": "pos-LSTM (rollout)",
                      "pos_gru_mean_error": "pos-GRU (rollout)",

@@ -152,9 +152,12 @@ one_pass() {
   fi
 
   # --- M. large QMIX to its 26k plateau (item 5) ---------------------------
+  # num_episodes is ADDITIONAL on resume (run_rl ep_base); the r4 C stage
+  # ends somewhere in 18-26k, so 8000 more lands in the 25-30k ask without
+  # the overshoot a 26000 target would burn.
   if ! qmix_large_at 25500; then
     stage M_qmix_large_26k 5400 python3 experiments/medium_qmix_5k.py \
-      --env_id "$LARGE" --num_episodes 26000 --coordinated \
+      --env_id "$LARGE" --num_episodes 8000 --coordinated \
       --eval_every 250 --eval_episodes 8 --tag coordtrain_large \
       --resume_from runs/qmix_medium_5k_coordtrain_large/ckpt
     stage M2_export_qmix_large 900 python3 experiments/export_policy.py --cpu \

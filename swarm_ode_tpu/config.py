@@ -84,7 +84,11 @@ class EnvConfig:
     # block of row_frac * batch * agents rows. Exact for every consumed row;
     # overflow beyond the budget is counted in info['replan_overflow'].
     # 1.0 disables compaction.
-    replan_row_frac: float = 0.43
+    # The 0.22 default is the sweep-selected operating point WITH rejoin
+    # (needed rows ~2.0/step/env on medium, zero overflow at B=2048 —
+    # results_data/rejoin_sweep_r4.log). If you set replan_rejoin=False,
+    # raise this to 0.43: always-replan needs ~7.5 rows/step/env.
+    replan_row_frac: float = 0.22
     # Rejoin: drop an agent out of replan mode once its dynamic field
     # agrees with the static field at its own cell (same next-hop, same
     # distance) — from there the static follower takes the identical
@@ -92,9 +96,11 @@ class EnvConfig:
     # Phase-2 trigger. The reference computes ONE frozen path per clash
     # (warehouse.py:469) and follows it without recomputation; without
     # rejoin our recompute-every-step design keeps querying BFS for the
-    # whole rest of the mission. Throughput lever; parity stats measured
-    # unchanged before flipping the default (see RESULTS.md round 4).
-    replan_rejoin: bool = False
+    # whole rest of the mission. Throughput lever; default flipped after
+    # the pre-registered gate was met (medium 243,359 steps/s >= 230k with
+    # zero overflow at row_frac 0.22; parity pick rate 122.6 vs reference
+    # 116.0 — results_data/parity_rejoin_r4.json, RESULTS.md rounds 4-5).
+    replan_rejoin: bool = True
     # Deadlock-break (no reference counterpart; the reference's stuck rules
     # deadlock on no-detour geometry, e.g. the tiny-map mutual picker
     # blockade — tests/test_golden_behavior.py). 0 = reference semantics.

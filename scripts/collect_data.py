@@ -34,6 +34,7 @@ p.add_argument(
 
 if __name__ == "__main__":
     args = p.parse_args()
+    Path(args.out_dir).mkdir(parents=True, exist_ok=True)
     for env_id in args.env_ids:
         for seed in args.seeds:
             out = str(

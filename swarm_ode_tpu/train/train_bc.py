@@ -184,16 +184,20 @@ def train_bc(cfg: BCConfig, verbose: bool = True, arrays=None,
     # DAgger stage; compute itself is ~2 s). One sync per epoch instead.
     # Each distinct batch count recompiles the scan (DAgger growth does
     # this once per round) — seconds, vs minutes of RTT stalls.
+    # NOTE: these must be passed to the jitted epoch functions as explicit
+    # arguments, not closed over — closed-over arrays are embedded into the
+    # lowered HLO as constants, and a ~265 MB constant blows the axon
+    # tunnel's compile-request size limit (HTTP 413) at medium scale.
     obs_dev = jnp.asarray(obs_np)
     act_dev = jnp.asarray(act_np)
     idle_dev = jnp.asarray(~busy_np)
 
-    def epoch_scan(p, opt_state, order, train):
+    def epoch_scan(p, opt_state, order, obs_all, act_all, idle_all, train):
         def body(carry, rows):
             p, opt_state, tot = carry
-            obs_b = obs_dev[rows].astype(jnp.float32)
-            act_b = act_dev[rows]
-            idle_b = idle_dev[rows]
+            obs_b = obs_all[rows].astype(jnp.float32)
+            act_b = act_all[rows]
+            idle_b = idle_all[rows]
             if train:
                 (loss, (acc, w)), grads = jax.value_and_grad(
                     batch_loss, has_aux=True
@@ -211,9 +215,14 @@ def train_bc(cfg: BCConfig, verbose: bool = True, arrays=None,
         return p, opt_state, tot
 
     epoch_train = jax.jit(
-        lambda p, o, idx: epoch_scan(p, o, idx, True), donate_argnums=(0, 1)
+        lambda p, o, idx, ob, ac, idl: epoch_scan(p, o, idx, ob, ac, idl, True),
+        donate_argnums=(0, 1),
     )
-    epoch_eval = jax.jit(lambda p, o, idx: epoch_scan(p, o, idx, False)[2])
+    epoch_eval = jax.jit(
+        lambda p, o, idx, ob, ac, idl: epoch_scan(
+            p, o, idx, ob, ac, idl, False
+        )[2]
+    )
 
     def run_split(p, opt_state, idx, train):
         order = rng.permutation(idx) if train else idx
@@ -224,9 +233,13 @@ def train_bc(cfg: BCConfig, verbose: bool = True, arrays=None,
             np.asarray(order[: n_b * B], np.int32).reshape(n_b, B)
         )
         if train:
-            p, opt_state, tot = epoch_train(p, opt_state, order)
+            p, opt_state, tot = epoch_train(
+                p, opt_state, order, obs_dev, act_dev, idle_dev
+            )
         else:
-            tot = epoch_eval(p, opt_state, order)
+            tot = epoch_eval(
+                p, opt_state, order, obs_dev, act_dev, idle_dev
+            )
         tot_l, tot_a, tot_w = (float(v) for v in np.asarray(tot))
         tot_w = max(tot_w, 1.0)
         return p, opt_state, tot_l / tot_w, tot_a / tot_w

@@ -117,8 +117,10 @@ fi
 if [ ! -f $RD/sizes/gde_extralarge_ref_h4__multistep.json ]; then
   ls datasets/warehouse_data_${XL}_seed*.h5 >/dev/null 2>&1 || \
     stage XA_datagen_xl 1800 python3 scripts/collect_data.py \
-      --env_ids "$XL" --seeds 0 1000 --num_episodes 60 --batch 30 \
+      --env_ids "$XL" --seeds 0 4000 --num_episodes 60 --batch 30 \
       --out_dir datasets
+  # seed 4000 included deliberately: gde_multistep.py evaluates on the
+  # seed4000 file (held-out-ish slice, same convention as medium).
   stage XB_gde_xl_h4 2100 python3 experiments/medium_gde_ref_scale.py \
     --env "$XL" --epochs 12 --horizon 4 --checkpoint_every 2 \
     --scan_chunk 1000 --device_shard_episodes 250 \

@@ -83,3 +83,16 @@ HARD_DEADLINE=$(( $(date +%s) + 700 ))
 stage Zv8_bench 600 python3 bench.py
 harvest
 echo "=== $(date -u +%H:%M:%S) r5 queue v8 done" >> $QLOG
+
+# --- appended 02:30: XL baselines rows with the spare chip time --------------
+HARD_DEADLINE=$(date -ud "2026-08-20 03:20" +%s)
+if [ ! -f $RD/sizes/baselines_extralarge__results.json ]; then
+  stage XD_baselines_xl 1500 python3 experiments/medium_baselines_table.py \
+    --env "$XL" --models gru pos_gru --epochs 15 --hidden_dim 128 \
+    --save_params --out_dir /root/repo/runs/baselines_extralarge \
+    --gde_result /root/repo/runs/gde_extralarge_ref_h4/result.json
+  stage XD2_baselines_xl_ms 800 python3 experiments/baselines_multistep.py \
+    --env "$XL" --params_dir /root/repo/runs/baselines_extralarge
+  harvest
+fi
+echo "=== $(date -u +%H:%M:%S) r5 queue v8 appended tail done" >> $QLOG

@@ -15,8 +15,15 @@ ap.add_argument("--gde_h4", default="/root/repo/runs/gde_medium_ref_h4/multistep
 ap.add_argument("--gde_h4w",
                 default="/root/repo/runs/gde_medium_ref_h4w/multistep.json",
                 help="horizon-weighted flagship (round-4)")
+ap.add_argument("--gde_h1_mini",
+                default="/root/repo/runs/gde_medium_ref_h1mini/multistep.json",
+                help="mini-recipe h=1 fallback (12 epochs, 120 episodes) — "
+                "printed only when the full 200-epoch restore is absent")
 ap.add_argument("--baselines",
                 default="/root/repo/runs/baselines_medium/multistep.json")
+ap.add_argument("--baselines_mini",
+                default="/root/repo/runs/baselines_medium_mini/multistep.json",
+                help="mini-recipe baselines fallback (10 epochs, 120 episodes)")
 args = ap.parse_args()
 
 cols = {}  # name -> {h: err}
@@ -47,20 +54,40 @@ def add(path, mapping, optional=False):
                 cols.setdefault(col, {})[h] = row[json_name]
 
 
-add(args.gde_h1, {"gde_mean_error": "GDE (h=1)",
-                  "persistence_mean_error": "persistence"})
+if _resolve(args.gde_h1).exists():
+    add(args.gde_h1, {"gde_mean_error": "GDE (h=1)",
+                      "persistence_mean_error": "persistence"})
+else:
+    # The full 200-epoch h=1 restore died with runs/ on successive VM
+    # resets; the mini-recipe row (12 epochs, 120 episodes, same eval
+    # slice) is printed with an explicit label rather than a blank.
+    add(args.gde_h1_mini,
+        {"gde_mean_error": "GDE (h=1, mini recipe)",
+         "persistence_mean_error": "persistence"}, optional=True)
 # Uniform h=4 is superseded by the weighted flagship (RESULTS.md round 4:
 # weighted dominates at every horizon); its round-3 artifact died with
 # runs/, so the row prints only when a local copy exists.
 add(args.gde_h4, {"gde_mean_error": "GDE (h=4)"}, optional=True)
-add(args.gde_h4w, {"gde_mean_error": "GDE (h=4, weighted)"})
-add(args.baselines, {"pos_lstm_mean_error": "pos-LSTM (rollout)",
-                     "pos_gru_mean_error": "pos-GRU (rollout)",
-                     "lstm_mean_error": "LSTM (teacher-forced*)"})
+# persistence is recomputed on the shared eval slice by every
+# gde_multistep run, so the flagship's committed json also carries it.
+add(args.gde_h4w, {"gde_mean_error": "GDE (h=4, weighted)",
+                   "persistence_mean_error": "persistence"})
+if _resolve(args.baselines).exists():
+    add(args.baselines, {"pos_lstm_mean_error": "pos-LSTM (rollout)",
+                         "pos_gru_mean_error": "pos-GRU (rollout)",
+                         "lstm_mean_error": "LSTM (teacher-forced*)"})
+else:
+    add(args.baselines_mini,
+        {"pos_lstm_mean_error": "pos-LSTM (rollout, mini)",
+         "pos_gru_mean_error": "pos-GRU (rollout, mini)",
+         "lstm_mean_error": "LSTM (teacher-forced*, mini)"}, optional=True)
 
 order = ["GDE (h=4, weighted)", "GDE (h=4)", "GDE (h=1)",
+         "GDE (h=1, mini recipe)",
          "pos-LSTM (rollout)", "pos-GRU (rollout)",
-         "LSTM (teacher-forced*)", "persistence"]
+         "LSTM (teacher-forced*)",
+         "pos-LSTM (rollout, mini)", "pos-GRU (rollout, mini)",
+         "LSTM (teacher-forced*, mini)", "persistence"]
 names = [n for n in order if n in cols]
 hs = sorted({h for c in cols.values() for h in c})
 print("| model | " + " | ".join(f"t=+{h}" for h in hs) + " |")

@@ -76,6 +76,7 @@ if len(args.models) > 1:
         cmd = [sys.executable, __file__, "--models", name,
                "--epochs", str(args.epochs),
                "--env", ENV, "--out_dir", str(OUT),
+               "--data_dir", str(DATA),
                "--gde_result", args.gde_result,
                "--hidden_dim", str(args.hidden_dim)]
         if args.max_episodes is not None:

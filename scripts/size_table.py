@@ -46,6 +46,14 @@ for size in args.sizes:
     bj = _find(f"baselines_{size}", "results.json")
     if bj is not None:
         table.update(json.loads(bj.read_text()))
+    # Mini-recipe restores (10 epochs, 120 episodes) fill models whose
+    # full-recipe artifacts died with runs/ on VM resets — labeled, and
+    # never shadowing a full-recipe row.
+    bmj = _find(f"baselines_{size}_mini", "results.json")
+    if bmj is not None:
+        for k, v in json.loads(bmj.read_text()).items():
+            if k not in table:
+                table[f"{k} (mini)"] = v
     # Flagships train with the horizon-weighted loss (tag h4w); the
     # per-size sweep rows are plain h4. Prefer the weighted run.
     gj = (_find(f"gde_{size}_ref_h4w", "result.json")
@@ -56,12 +64,13 @@ for size in args.sizes:
             "best_val_mse": min(g["history"]["val_loss"]),
             **g["metrics"],
         }
-    for model in args.models:
-        r = table.get(model)
-        if not r:
-            continue
-        rows.append((size, model, r.get("best_val_mse"),
-                     r.get("mean_error"), r.get("success_rate@1.0")))
+    for base in args.models:
+        for model in (base, f"{base} (mini)"):
+            r = table.get(model)
+            if not r:
+                continue
+            rows.append((size, model, r.get("best_val_mse"),
+                         r.get("mean_error"), r.get("success_rate@1.0")))
 
 if not rows:
     sys.exit("no results found under runs/ or results_data/sizes/")
